@@ -1,0 +1,193 @@
+"""Static-shape graph batching for XLA.
+
+This is the key TPU-native departure from the reference (which used pyg's
+dynamic-shape `Batch` concatenation, data_loaders.py:481-520): variable-size
+complexes are padded into a small set of fixed (node, edge) bucket shapes so
+every bucket compiles exactly once and all downstream segment ops run over
+static shapes on the MXU/VPU.
+
+Conventions (relied on by pointvs_tpu.ops.segment and the models):
+
+- Node arrays are padded to ``n_pad`` rows; padding rows have
+  ``node_mask == 0`` and ``graph_id == num_graphs`` (one-past-the-end, so
+  clamped segment ops with masked data contribute nothing).
+- Edge arrays are padded to ``e_pad`` rows; padding rows have
+  ``edge_mask == 0`` and ``senders == receivers == n_pad``.
+- The graph axis is padded to ``num_graphs`` entries with
+  ``graph_mask == 0`` for dummy graphs (used when the final batch of an
+  epoch is short, and to keep per-device batch shapes equal under data
+  parallelism).
+"""
+from __future__ import annotations
+
+import bisect
+from dataclasses import dataclass, field
+from typing import NamedTuple, Optional, Sequence
+
+import numpy as np
+
+
+class GraphBatch(NamedTuple):
+    """A statically shaped batch of graphs (a pytree of arrays).
+
+    Shapes: N = padded node count, E = padded edge count, B = graph slots.
+    """
+    node_feats: np.ndarray   # [N, F] float32
+    coords: np.ndarray       # [N, 3] float32
+    node_mask: np.ndarray    # [N]    float32 (1 = real node)
+    graph_id: np.ndarray     # [N]    int32   (padding rows = B)
+    senders: np.ndarray      # [E]    int32   (aggregation destination, "row")
+    receivers: np.ndarray    # [E]    int32   ("col")
+    edge_attr: np.ndarray    # [E, 3] float32
+    edge_mask: np.ndarray    # [E]    float32 (1 = real edge)
+    y: np.ndarray            # [B] or [B, 3] float32 targets
+    graph_mask: np.ndarray   # [B]    float32 (1 = real graph)
+    strain: np.ndarray       # [B, 2] float32 (dE, strain rmsd; zeros if n/a)
+
+    @property
+    def num_nodes(self) -> int:
+        return self.node_feats.shape[0]
+
+    @property
+    def num_edges(self) -> int:
+        return self.senders.shape[0]
+
+    @property
+    def num_graphs(self) -> int:
+        return self.graph_mask.shape[0]
+
+
+@dataclass
+class GraphSample:
+    """One preprocessed complex (host-side, pre-batching)."""
+    node_feats: np.ndarray    # [n, F] float32
+    coords: np.ndarray        # [n, 3] float32
+    senders: np.ndarray       # [e] int
+    receivers: np.ndarray     # [e] int
+    edge_attr: np.ndarray     # [e, 3] float32 (one-hot edge class)
+    y: np.ndarray             # scalar or [3]
+    lig_fname: str = ''
+    rec_fname: str = ''
+    dE: float = 0.0
+    rmsd: float = 0.0
+    extra: dict = field(default_factory=dict)
+
+    @property
+    def num_nodes(self) -> int:
+        return self.node_feats.shape[0]
+
+    @property
+    def num_edges(self) -> int:
+        return self.senders.shape[0]
+
+
+# Bucket boundaries grow geometrically (ratio ~1.4) so the number of distinct
+# compiled shapes stays small (<~20 per axis) while padding waste stays <40%.
+def bucket_sizes(minimum: int, maximum: int, ratio: float = 1.4,
+                 multiple: int = 128) -> Sequence[int]:
+    """Geometric grid of padded sizes, rounded up to `multiple` (TPU lanes)."""
+    sizes = []
+    value = float(max(minimum, multiple))
+    while True:
+        padded = int(-(-value // multiple) * multiple)
+        if not sizes or padded > sizes[-1]:
+            sizes.append(padded)
+        if padded >= maximum:
+            break
+        value *= ratio
+    return sizes
+
+
+DEFAULT_NODE_BUCKETS = bucket_sizes(128, 65536)
+DEFAULT_EDGE_BUCKETS = bucket_sizes(512, 1048576)
+
+
+def pick_bucket(size: int, buckets: Sequence[int]) -> int:
+    """Smallest bucket >= size (grows the grid if size exceeds the last)."""
+    idx = bisect.bisect_left(buckets, size)
+    if idx < len(buckets):
+        return buckets[idx]
+    # Out of grid: round up to next multiple of the last stride.
+    stride = buckets[-1] - (buckets[-2] if len(buckets) > 1 else 0)
+    stride = max(stride, 128)
+    over = size - buckets[-1]
+    return buckets[-1] + int(-(-over // stride) * stride)
+
+
+def pad_graphs_to_batch(samples: Sequence[GraphSample],
+                        num_graphs: Optional[int] = None,
+                        node_buckets: Sequence[int] = DEFAULT_NODE_BUCKETS,
+                        edge_buckets: Sequence[int] = DEFAULT_EDGE_BUCKETS,
+                        n_pad: Optional[int] = None,
+                        e_pad: Optional[int] = None) -> GraphBatch:
+    """Concatenate samples and pad to bucketed static shapes."""
+    if not samples:
+        raise ValueError('pad_graphs_to_batch needs at least one sample')
+    num_graphs = num_graphs or len(samples)
+    assert len(samples) <= num_graphs
+
+    total_nodes = sum(s.num_nodes for s in samples)
+    total_edges = sum(s.num_edges for s in samples)
+    n_pad = n_pad if n_pad is not None else pick_bucket(
+        max(total_nodes, 1), node_buckets)
+    e_pad = e_pad if e_pad is not None else pick_bucket(
+        max(total_edges, 1), edge_buckets)
+    if n_pad < total_nodes or e_pad < total_edges:
+        raise ValueError(
+            f'pad sizes ({n_pad},{e_pad}) smaller than actual '
+            f'({total_nodes},{total_edges})')
+
+    feat_dim = samples[0].node_feats.shape[1]
+    edge_dim = samples[0].edge_attr.shape[1] if samples[0].num_edges else 3
+
+    node_feats = np.zeros((n_pad, feat_dim), dtype=np.float32)
+    coords = np.zeros((n_pad, 3), dtype=np.float32)
+    node_mask = np.zeros((n_pad,), dtype=np.float32)
+    graph_id = np.full((n_pad,), num_graphs, dtype=np.int32)
+    senders = np.full((e_pad,), n_pad, dtype=np.int32)
+    receivers = np.full((e_pad,), n_pad, dtype=np.int32)
+    edge_attr = np.zeros((e_pad, edge_dim), dtype=np.float32)
+    edge_mask = np.zeros((e_pad,), dtype=np.float32)
+
+    y0 = np.asarray(samples[0].y, dtype=np.float32)
+    y_shape = (num_graphs,) if y0.ndim == 0 else (num_graphs,) + y0.shape
+    y = np.zeros(y_shape, dtype=np.float32)
+    graph_mask = np.zeros((num_graphs,), dtype=np.float32)
+    strain = np.zeros((num_graphs, 2), dtype=np.float32)
+
+    node_offset = 0
+    edge_offset = 0
+    for gid, sample in enumerate(samples):
+        n, e = sample.num_nodes, sample.num_edges
+        node_feats[node_offset:node_offset + n] = sample.node_feats
+        coords[node_offset:node_offset + n] = sample.coords
+        node_mask[node_offset:node_offset + n] = 1.0
+        graph_id[node_offset:node_offset + n] = gid
+        if e:
+            senders[edge_offset:edge_offset + e] = (
+                sample.senders + node_offset)
+            receivers[edge_offset:edge_offset + e] = (
+                sample.receivers + node_offset)
+            edge_attr[edge_offset:edge_offset + e] = sample.edge_attr
+            edge_mask[edge_offset:edge_offset + e] = 1.0
+        y[gid] = np.asarray(sample.y, dtype=np.float32)
+        graph_mask[gid] = 1.0
+        strain[gid] = (sample.dE or 0.0, sample.rmsd or 0.0)
+        node_offset += n
+        edge_offset += e
+
+    return GraphBatch(node_feats, coords, node_mask, graph_id, senders,
+                      receivers, edge_attr, edge_mask, y, graph_mask, strain)
+
+
+def stack_device_batches(batches: Sequence[GraphBatch]) -> GraphBatch:
+    """Stack equal-shape per-device batches along a new leading axis.
+
+    Used for data parallelism: the result's arrays have shape [D, ...] and
+    are fed to a ``shard_map``-ped train step over a ('dp',) mesh.
+    """
+    shapes = {tuple(b.node_feats.shape) + tuple(b.senders.shape)
+              for b in batches}
+    if len(shapes) != 1:
+        raise ValueError(f'device batches must share shapes, got {shapes}')
+    return GraphBatch(*[np.stack(arrs) for arrs in zip(*batches)])

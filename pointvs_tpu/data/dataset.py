@@ -1,0 +1,411 @@
+"""Host-side dataset: types manifest -> preprocessed GraphSamples.
+
+Behavioural counterpart of the reference's PointCloudDataset /
+PygPointCloudDataset (point_vs/preprocessing/data_loaders.py:33-478):
+
+- classification labels straight from the types file, or relabelled from
+  pose RMSD with max_active / min_inactive / max_inactive cutoffs
+  (ref :133-161);
+- augmented actives: each active optionally duplicated
+  ``augmented_active_count`` times, re-rotated (ligand only) by at least
+  ``augmented_active_min_angle`` degrees and labelled decoy (ref :144-157);
+- class-balancing sample weights (ref WeightedRandomSampler :174-186);
+- label noise ``p_noise`` and entity dropout ``p_remove_entity`` (data
+  fault-injection knobs, ref :237-238, :293-300);
+- smina-type or atomic-number featurisation with the compact
+  one-hot+entity-bit scheme (ref :194-226);
+- radius-graph construction with inter/intra radii (estimate_bonds =>
+  intra 2.0 A) and optional pruning (ref :359-370).
+
+TPU-native additions: an on-disk .npz cache of the boxed structure + edges
+per (receptor, ligand, params) key. Rotation augmentation is applied after
+cache load — legal because the box filter and edge generation depend only on
+pairwise distances, which rotations preserve.
+"""
+from __future__ import annotations
+
+import hashlib
+from collections import defaultdict
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+
+from pointvs_tpu.data.buckets import GraphSample
+from pointvs_tpu.data.preprocessing import (
+    concat_structs,
+    generate_edges,
+    make_bit_vector,
+    make_box,
+    uniform_random_rotation,
+)
+from pointvs_tpu.data.types_files import (
+    parse_classification_types,
+    parse_regression_types,
+)
+from pointvs_tpu.logging import get_logger
+from pointvs_tpu.utils import expand_path, shorten_home
+
+LOG = get_logger('PointVS-TPU')
+
+# Atomic-number featurisation (ref data_loaders.py:194-216): recognised
+# organic elements, then grouped halogens / alkali / alkaline-earth /
+# transition metals, then (optionally) polar hydrogen, then "other".
+_RECOGNISED_ATOMIC_NUMBERS = (6, 7, 8, 9, 15, 16, 17)
+_OTHER_GROUPINGS = ((35, 53), (3, 11, 19), (4, 12, 20), (26, 29, 30))
+
+
+def build_atomic_number_map(polar_hydrogens: bool):
+    mapping = {num: idx for idx, num in enumerate(_RECOGNISED_ATOMIC_NUMBERS)}
+    for grouping in _OTHER_GROUPINGS:
+        nxt = max(mapping.values()) + 1
+        mapping.update({elem: nxt for elem in grouping})
+    if polar_hydrogens:
+        mapping[1] = max(mapping.values()) + 1
+    n_features = max(mapping.values()) + 1  # +1 slot for unmapped elements
+    lookup = defaultdict(lambda: n_features)
+    lookup.update(mapping)
+    return lookup, n_features
+
+
+class PointCloudDataset:
+    """Map-style dataset of protein-ligand complexes as graphs."""
+
+    def __init__(
+            self, base_path, radius: float = 12,
+            polar_hydrogens: bool = True, use_atomic_numbers: bool = False,
+            compact: bool = True, rot: bool = False,
+            augmented_active_count: int = 0,
+            augmented_active_min_angle: float = 90,
+            max_active_rms_distance: Optional[float] = None,
+            min_inactive_rms_distance: Optional[float] = None,
+            max_inactive_rms_distance: Optional[float] = None,
+            fname_suffix: str = 'parquet',
+            model_task: str = 'classification',
+            types_fname=None, edge_radius: Optional[float] = None,
+            estimate_bonds: bool = False, prune: bool = False,
+            bp: Optional[int] = None, p_remove_entity: float = 0,
+            extended_atom_types: bool = False, p_noise: float = -1,
+            include_strain_info: bool = False,
+            cache_dir=None, seed: int = 0, **kwargs):
+        del kwargs  # flag soup passed through from the CLI
+        assert not ((max_active_rms_distance is None) !=
+                    (min_inactive_rms_distance is None))
+        assert not (include_strain_info and augmented_active_count)
+
+        self.base_path = expand_path(base_path)
+        if not self.base_path.exists():
+            raise FileNotFoundError(
+                f'Dataset {self.base_path} does not exist.')
+        self.radius = radius
+        self.polar_hydrogens = polar_hydrogens
+        self.use_atomic_numbers = use_atomic_numbers
+        self.compact = compact
+        self.rot = rot
+        self.estimate_bonds = estimate_bonds
+        self.prune = prune
+        self.bp = bp
+        self.edge_radius = edge_radius if edge_radius is not None else 4.0
+        self.p_remove_entity = p_remove_entity
+        self.p_noise = p_noise
+        self.model_task = model_task
+        self.fname_suffix = fname_suffix
+        self.include_strain_info = include_strain_info
+        self.extended_atom_types = extended_atom_types
+        self.augmented_active_min_angle = augmented_active_min_angle
+        self.rng = np.random.RandomState(seed)
+        self.cache_dir = Path(cache_dir) if cache_dir else None
+        if self.cache_dir:
+            self.cache_dir.mkdir(parents=True, exist_ok=True)
+
+        self.use_types = types_fname is not None
+        self.sample_weights = None
+        self.dEs, self.rmsds = [], []
+
+        if self.model_task.endswith('regression'):
+            entries = parse_regression_types(self.base_path, types_fname)
+            self.pki, self.pkd, self.ic50 = (
+                entries.pki, entries.pkd, entries.ic50)
+            self.receptor_fnames = entries.receptors
+            self.ligand_fnames = entries.ligands
+            self.pre_aug_ds_len = len(self.ligand_fnames)
+            self.labels = np.array([])
+        else:
+            self._init_classification(
+                types_fname, max_active_rms_distance,
+                min_inactive_rms_distance, max_inactive_rms_distance,
+                augmented_active_count, include_strain_info)
+
+        LOG.info(f'There are {len(self.ligand_fnames)} data points in '
+                 f'{shorten_home(base_path)}')
+
+        # Featurisation setup (ref data_loaders.py:194-226).
+        if use_atomic_numbers:
+            self.atomic_number_to_index, self.n_features = (
+                build_atomic_number_map(polar_hydrogens))
+        elif polar_hydrogens:
+            raise NotImplementedError('Hydrogens temporarily disabled.')
+        else:
+            self.n_features = 11 + 8 * extended_atom_types
+        self.feature_dim = (self.n_features + 1 if compact
+                            else self.n_features * 2)
+
+    # ------------------------------------------------------------------ #
+    def _init_classification(self, types_fname, max_active_rmsd,
+                             min_inactive_rmsd, max_inactive_rmsd,
+                             aug_count, include_strain_info):
+        label_by_rmsd = any(v is not None for v in (
+            max_active_rmsd, min_inactive_rmsd, max_inactive_rmsd))
+        if label_by_rmsd:
+            max_active_rmsd = (np.inf if max_active_rmsd is None
+                               else max_active_rmsd)
+            max_inactive_rmsd = (np.inf if max_inactive_rmsd is None
+                                 else max_inactive_rmsd)
+            min_inactive_rmsd = (0 if min_inactive_rmsd is None
+                                 else min_inactive_rmsd)
+
+        entries = parse_classification_types(
+            types_fname, include_strain_info=include_strain_info)
+
+        labels, recs, ligs, dEs, rmsds = [], [], [], [], []
+        aug_recs, aug_ligs = [], []
+        for i in range(len(entries)):
+            rec, lig = entries.receptors[i], entries.ligands[i]
+            label = entries.labels[i]
+            if label_by_rmsd:
+                rmsd = entries.rmsds[i]
+                if rmsd is None or rmsd < 0:
+                    continue
+                if rmsd < max_active_rmsd:
+                    label = 1
+                    aug_ligs += [lig] * aug_count
+                    aug_recs += [rec] * aug_count
+                elif rmsd >= max_inactive_rmsd:
+                    continue
+                elif rmsd >= min_inactive_rmsd:
+                    label = 0
+                else:
+                    continue
+            elif label:
+                aug_ligs += [lig] * aug_count
+                aug_recs += [rec] * aug_count
+            labels.append(label)
+            recs.append(rec)
+            ligs.append(lig)
+            dEs.append(entries.dEs[i])
+            rmsds.append(entries.strain_rmsds[i])
+
+        self.pre_aug_ds_len = len(ligs)
+        self.receptor_fnames = recs + aug_recs
+        self.ligand_fnames = ligs + aug_ligs
+        self.dEs = dEs
+        self.rmsds = rmsds
+        labels = labels + [0] * len(aug_ligs)
+        self.labels = np.array(
+            [l if l is not None else -1 for l in labels], dtype=np.int64)
+
+        # Class-balancing weights (ref :174-186). None if single-class or
+        # unlabelled.
+        if len(labels) and labels[0] is not None:
+            active_count = int(np.sum(self.labels == 1))
+            total = len(self.labels)
+            if active_count in (0, total):
+                self.sample_weights = None
+            else:
+                class_counts = np.array(
+                    [total - active_count, active_count], dtype=np.float64)
+                weights = 1.0 / class_counts
+                self.sample_weights = weights[
+                    np.clip(self.labels, 0, 1)]
+
+    # ------------------------------------------------------------------ #
+    def __len__(self):
+        return len(self.ligand_fnames)
+
+    def _label_for(self, item: int):
+        if self.model_task == 'classification':
+            label = int(self.labels[item]) if len(self.labels) else 0
+            if self.rng.rand() < self.p_noise:
+                label = 1 - label
+            return np.float32(label)
+        if self.model_task == 'multi_regression':
+            return np.array([self.pki[item], self.pkd[item],
+                             self.ic50[item]], dtype=np.float32)
+        vals = [v for v in (self.pki[item], self.pkd[item], self.ic50[item])
+                if v is not None]
+        return np.float32(max(vals) if vals else 0.0)
+
+    def _paths_for(self, item: int):
+        if self.use_types:
+            return (self.base_path / self.ligand_fnames[item],
+                    self.base_path / self.receptor_fnames[item])
+        lig_fname = Path(self.ligand_fnames[item])
+        rec_name = lig_fname.parent.name.split('_')[0]
+        matches = sorted((self.base_path / 'receptors').glob(
+            f'{rec_name}*.{self.fname_suffix}'))
+        if not matches:
+            raise RuntimeError(
+                f'Receptor for ligand {lig_fname} not found (looked for '
+                f'{rec_name}.{self.fname_suffix}).')
+        return lig_fname, matches[0]
+
+    def _cache_key(self, lig_fname, rec_fname) -> Optional[Path]:
+        if self.cache_dir is None:
+            return None
+        params = (str(lig_fname), str(rec_fname), self.radius,
+                  self.edge_radius, self.estimate_bonds, self.prune,
+                  self.polar_hydrogens, self.use_atomic_numbers,
+                  self.extended_atom_types, self.bp)
+        digest = hashlib.sha1(repr(params).encode()).hexdigest()[:24]
+        return self.cache_dir / f'{digest}.npz'
+
+    def _build_struct(self, lig_fname, rec_fname, aug_angle: float
+                      ) -> pd.DataFrame:
+        """parquets -> concatenated, boxed, element-filtered structure."""
+        struct = make_box(
+            concat_structs(rec_fname, lig_fname, self.n_features,
+                           min_lig_rotation=aug_angle,
+                           extended=self.extended_atom_types,
+                           rng=self.rng),
+            radius=self.radius, relative_to_ligand=True)
+        if not self.polar_hydrogens:
+            struct = struct[struct['atomic_number'] > 1]
+        if self.use_atomic_numbers:
+            struct = struct.copy()
+            struct.types = (
+                struct['atomic_number'].map(
+                    lambda z: self.atomic_number_to_index[z])
+                + struct.bp * self.n_features)
+        return struct.reset_index(drop=True)
+
+    def _edges_for(self, struct: pd.DataFrame):
+        edge_radius = self.edge_radius if self.edge_radius > 0 else 4
+        intra_radius = 2.0 if self.estimate_bonds else edge_radius
+        if self.edge_radius >= 0:
+            struct, (rows, cols), attrs = generate_edges(
+                struct, inter_radius=edge_radius,
+                intra_radius=intra_radius, prune=self.prune)
+            onehot = np.zeros((len(attrs), 3), dtype=np.float32)
+            if len(attrs):
+                onehot[np.arange(len(attrs)), attrs] = 1.0
+            return struct, rows.astype(np.int32), cols.astype(np.int32), onehot
+        return struct, np.zeros(0, np.int32), np.zeros(0, np.int32), \
+            np.zeros((0, 3), np.float32)
+
+    def _load_boxed_graph(self, lig_fname, rec_fname, aug_angle: float):
+        """Boxed struct + edges, through the npz cache when possible."""
+        cache_path = (None if aug_angle else
+                      self._cache_key(lig_fname, rec_fname))
+        if cache_path is not None and cache_path.exists():
+            blob = np.load(cache_path, allow_pickle=False)
+            struct = pd.DataFrame({
+                'x': blob['x'], 'y': blob['y'], 'z': blob['z'],
+                'atomic_number': blob['atomic_number'],
+                'types': blob['types'], 'bp': blob['bp']})
+            return struct, blob['rows'], blob['cols'], blob['attrs']
+
+        struct = self._build_struct(lig_fname, rec_fname, aug_angle)
+        if self.bp is not None:
+            struct = struct[struct.bp == self.bp].reset_index(drop=True)
+        struct, rows, cols, attrs = self._edges_for(struct)
+
+        if cache_path is not None:
+            tmp = cache_path.with_suffix('.tmp.npz')
+            np.savez_compressed(
+                tmp, x=struct.x.to_numpy(), y=struct.y.to_numpy(),
+                z=struct.z.to_numpy(),
+                atomic_number=struct.atomic_number.to_numpy(),
+                types=struct.types.to_numpy(), bp=struct.bp.to_numpy(),
+                rows=rows, cols=cols, attrs=attrs)
+            tmp.rename(cache_path)
+        return struct, rows, cols, attrs
+
+    def __getitem__(self, item: int) -> GraphSample:
+        label = self._label_for(item)
+        lig_fname, rec_fname = self._paths_for(item)
+        if not Path(lig_fname).is_file():
+            raise FileNotFoundError(f'{lig_fname} does not exist.')
+        if not Path(rec_fname).is_file():
+            raise FileNotFoundError(f'{rec_fname} does not exist.')
+
+        # Augmented actives sit past the pre-augmentation length and get a
+        # fresh ligand rotation + decoy label each epoch (ref :259-269).
+        is_augmented = (not self.model_task.endswith('regression')
+                        and item >= self.pre_aug_ds_len)
+        aug_angle = self.augmented_active_min_angle if is_augmented else 0
+
+        struct, rows, cols, attrs = self._load_boxed_graph(
+            lig_fname, rec_fname, aug_angle)
+
+        # Entity dropout: drop receptor or ligand, force label 0 (ref
+        # :293-300). Requires regenerating edges on the remaining entity.
+        if self.p_remove_entity > 0 and self.rng.rand() < self.p_remove_entity:
+            keep_bp = 0 if self.rng.rand() < 0.5 else 1
+            struct = struct[struct.bp == keep_bp].reset_index(drop=True)
+            struct, rows, cols, attrs = self._edges_for(struct)
+            label = (np.float32(0) if np.ndim(label) == 0
+                     else np.zeros(3, dtype=np.float32))
+
+        coords = np.stack([struct.x.to_numpy(), struct.y.to_numpy(),
+                           struct.z.to_numpy()], axis=1)
+        if self.rot:
+            coords = uniform_random_rotation(coords, rng=self.rng)
+
+        feats = make_bit_vector(
+            struct.types.to_numpy(), self.n_features, self.compact)
+
+        d_e, rmsd = 0.0, 0.0
+        if self.include_strain_info and item < len(self.dEs):
+            d_e = self.dEs[item] or 0.0
+            rmsd = self.rmsds[item] or 0.0
+
+        return GraphSample(
+            node_feats=feats.astype(np.float32),
+            coords=coords.astype(np.float32),
+            senders=np.asarray(rows, dtype=np.int32),
+            receivers=np.asarray(cols, dtype=np.int32),
+            edge_attr=np.asarray(attrs, dtype=np.float32),
+            y=label,
+            lig_fname=str(lig_fname), rec_fname=str(rec_fname),
+            dE=float(d_e), rmsd=float(rmsd))
+
+
+class SynthPharmDataset(PointCloudDataset):
+    """Synthetic-pharmacophore dataset: 12-class atom_id one-hot features
+    (ref data_loaders.py:394-478)."""
+
+    def __init__(self, *args, no_receptor: bool = False, **kwargs):
+        self.no_receptor = no_receptor
+        super().__init__(*args, **kwargs)
+
+    def __getitem__(self, item: int) -> GraphSample:
+        label = self._label_for(item)
+        lig_fname, rec_fname = self._paths_for(item)
+        struct = concat_structs(rec_fname, lig_fname, self.n_features,
+                                min_lig_rotation=0, synth_pharm=True)
+        if self.no_receptor:
+            struct = struct[struct['bp'] == 0].reset_index(drop=True)
+        if self.bp is not None:
+            struct = struct[struct.bp == self.bp].reset_index(drop=True)
+
+        edge_radius = self.edge_radius if self.edge_radius > 0 else 4
+        intra_radius = 2.0 if self.estimate_bonds else edge_radius
+        struct, (rows, cols), attrs = generate_edges(
+            struct, inter_radius=edge_radius, intra_radius=intra_radius,
+            prune=self.prune, synthpharm=True)
+        onehot_edges = np.zeros((len(attrs), 3), dtype=np.float32)
+        if len(attrs):
+            onehot_edges[np.arange(len(attrs)), attrs] = 1.0
+
+        coords = np.stack([struct.x.to_numpy(), struct.y.to_numpy(),
+                           struct.z.to_numpy()], axis=1)
+        atom_ids = struct.atom_id.to_numpy().astype(np.int64)
+        feats = np.zeros((len(atom_ids), 12), dtype=np.float32)
+        feats[np.arange(len(atom_ids)), atom_ids] = 1.0
+
+        return GraphSample(
+            node_feats=feats, coords=coords.astype(np.float32),
+            senders=rows.astype(np.int32), receivers=cols.astype(np.int32),
+            edge_attr=onehot_edges, y=label,
+            lig_fname=str(lig_fname), rec_fname=str(rec_fname))

@@ -1,0 +1,222 @@
+"""Batched, prefetching graph data loader.
+
+Replaces torch DataLoader + WeightedRandomSampler + pyg collation (ref
+point_vs/preprocessing/data_loaders.py:481-520) with a TPU-friendly design:
+
+- class-balanced *weighted sampling with replacement* for classification
+  training (identical semantics to WeightedRandomSampler: one epoch =
+  len(dataset) draws);
+- samples are collated into statically-shaped bucketed ``GraphBatch``es
+  (buckets.py) — XLA compiles once per (node-bucket, edge-bucket) pair;
+- optional data-parallel layout: the batch is split into ``num_devices``
+  equal sub-batches padded to a shared bucket and stacked along a leading
+  device axis for ``shard_map``;
+- a background prefetch thread keeps ``prefetch`` batches ready so host
+  preprocessing overlaps device compute.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from pointvs_tpu.data.buckets import (
+    DEFAULT_EDGE_BUCKETS,
+    DEFAULT_NODE_BUCKETS,
+    GraphBatch,
+    GraphSample,
+    pad_graphs_to_batch,
+    pick_bucket,
+    stack_device_batches,
+)
+from pointvs_tpu.data.dataset import PointCloudDataset, SynthPharmDataset
+from pointvs_tpu.logging import get_logger
+
+LOG = get_logger('PointVS-TPU')
+
+
+class BatchMeta:
+    """Host-side metadata for one batch (filenames line up with graph slots)."""
+
+    __slots__ = ('lig_fnames', 'rec_fnames')
+
+    def __init__(self, lig_fnames: List[str], rec_fnames: List[str]):
+        self.lig_fnames = lig_fnames
+        self.rec_fnames = rec_fnames
+
+
+class GraphDataLoader:
+    """Iterable over (GraphBatch, BatchMeta) pairs."""
+
+    def __init__(self, dataset: PointCloudDataset, batch_size: int = 32,
+                 mode: str = 'train', num_devices: int = 1,
+                 shuffle: Optional[bool] = None, drop_last: bool = False,
+                 prefetch: int = 2, seed: int = 0,
+                 node_buckets=DEFAULT_NODE_BUCKETS,
+                 edge_buckets=DEFAULT_EDGE_BUCKETS):
+        if batch_size % num_devices:
+            raise ValueError(
+                f'batch_size {batch_size} not divisible by num_devices '
+                f'{num_devices}')
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.mode = mode
+        self.num_devices = num_devices
+        self.shuffle = shuffle if shuffle is not None else (mode == 'train')
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+        self.rng = np.random.RandomState(seed)
+        self.node_buckets = node_buckets
+        self.edge_buckets = edge_buckets
+        # Weighted class-balancing only for classification training (ref
+        # data_loaders.py:506-509).
+        self.use_weighted_sampler = (
+            mode == 'train'
+            and dataset.model_task == 'classification'
+            and getattr(dataset, 'sample_weights', None) is not None)
+
+    def __len__(self):
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    def _epoch_indices(self) -> np.ndarray:
+        n = len(self.dataset)
+        if self.use_weighted_sampler:
+            weights = np.asarray(self.dataset.sample_weights, dtype=np.float64)
+            probs = weights / weights.sum()
+            return self.rng.choice(n, size=n, replace=True, p=probs)
+        idx = np.arange(n)
+        if self.shuffle:
+            self.rng.shuffle(idx)
+        return idx
+
+    def _collate(self, samples: List[GraphSample]
+                 ) -> Tuple[GraphBatch, BatchMeta]:
+        meta = BatchMeta([s.lig_fname for s in samples],
+                         [s.rec_fname for s in samples])
+        if self.num_devices == 1:
+            batch = pad_graphs_to_batch(
+                samples, num_graphs=self.batch_size,
+                node_buckets=self.node_buckets,
+                edge_buckets=self.edge_buckets)
+            return batch, meta
+
+        # Data-parallel: split graphs round-robin by size (largest first) so
+        # per-device node/edge totals balance, then pad all shards to the
+        # *same* bucket so shapes match across the device axis.
+        per_dev = self.batch_size // self.num_devices
+        order = sorted(range(len(samples)),
+                       key=lambda i: -samples[i].num_nodes)
+        shards: List[List[GraphSample]] = [[] for _ in range(self.num_devices)]
+        loads = np.zeros(self.num_devices, dtype=np.int64)
+        for i in order:
+            dev = int(np.argmin(loads + np.where(
+                np.array([len(s) for s in shards]) >= per_dev, 1 << 40, 0)))
+            shards[dev].append(samples[i])
+            loads[dev] += samples[i].num_nodes
+        # Meta must line up with graph slots: re-order filenames to match.
+        flat = [s for shard in shards for s in shard]
+        meta = BatchMeta([s.lig_fname for s in flat],
+                         [s.rec_fname for s in flat])
+        max_nodes = max((sum(s.num_nodes for s in sh) for sh in shards if sh),
+                        default=1)
+        max_edges = max((sum(s.num_edges for s in sh) for sh in shards if sh),
+                        default=1)
+        n_pad = pick_bucket(max(max_nodes, 1), self.node_buckets)
+        e_pad = pick_bucket(max(max_edges, 1), self.edge_buckets)
+        dummy = None
+        batches = []
+        for shard in shards:
+            if not shard:
+                if dummy is None:
+                    dummy = _dummy_sample(samples[0])
+                shard = [dummy]
+            batches.append(pad_graphs_to_batch(
+                shard, num_graphs=per_dev, n_pad=n_pad, e_pad=e_pad))
+        return stack_device_batches(batches), meta
+
+    def _produce(self) -> Iterator[Tuple[GraphBatch, BatchMeta]]:
+        indices = self._epoch_indices()
+        for start in range(0, len(indices), self.batch_size):
+            chunk = indices[start:start + self.batch_size]
+            if len(chunk) < self.batch_size and self.drop_last:
+                return
+            samples = [self.dataset[int(i)] for i in chunk]
+            yield self._collate(samples)
+
+    def __iter__(self):
+        if self.prefetch <= 0:
+            yield from self._produce()
+            return
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+        error_holder = []
+
+        def worker():
+            try:
+                for item in self._produce():
+                    q.put(item)
+            except BaseException as exc:  # surface in consumer thread
+                error_holder.append(exc)
+            finally:
+                q.put(sentinel)
+
+        thread = threading.Thread(target=worker, daemon=True)
+        thread.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if error_holder:
+                    raise error_holder[0]
+                return
+            yield item
+
+
+def _dummy_sample(template: GraphSample) -> GraphSample:
+    """A 1-node, 0-edge placeholder graph (masked out downstream)."""
+    y = np.asarray(template.y)
+    return GraphSample(
+        node_feats=np.zeros((1, template.node_feats.shape[1]), np.float32),
+        coords=np.zeros((1, 3), np.float32),
+        senders=np.zeros(0, np.int32), receivers=np.zeros(0, np.int32),
+        edge_attr=np.zeros((0, 3), np.float32),
+        y=np.zeros(y.shape, np.float32) if y.ndim else np.float32(0),
+        lig_fname='', rec_fname='')
+
+
+def get_data_loader(
+        data_root, dataset_class=PointCloudDataset, receptors=None,
+        batch_size: int = 32, compact: bool = True,
+        use_atomic_numbers: bool = False, radius: float = 6,
+        rot: bool = True, augmented_actives: int = 0,
+        min_aug_angle: float = 30, polar_hydrogens: bool = True,
+        mode: str = 'train', model_task: str = 'classification',
+        max_active_rms_distance=None, fname_suffix: str = 'parquet',
+        min_inactive_rms_distance=None, types_fname=None,
+        edge_radius=None, prune: bool = False, estimate_bonds: bool = False,
+        bp=None, p_noise: float = -1, num_devices: int = 1,
+        prefetch: int = 2, seed: int = 0, cache_dir=None,
+        **kwargs) -> GraphDataLoader:
+    """Build dataset + loader with the reference's flag surface
+    (ref data_loaders.py:481-520)."""
+    del receptors  # accepted for parity; unused (ref also ignores it)
+    ds = dataset_class(
+        data_root, compact=compact,
+        augmented_active_count=augmented_actives,
+        augmented_active_min_angle=min_aug_angle,
+        polar_hydrogens=polar_hydrogens,
+        max_active_rms_distance=max_active_rms_distance,
+        min_inactive_rms_distance=min_inactive_rms_distance,
+        use_atomic_numbers=use_atomic_numbers,
+        fname_suffix=fname_suffix, types_fname=types_fname,
+        edge_radius=edge_radius, estimate_bonds=estimate_bonds,
+        prune=prune, bp=bp, radius=radius, rot=rot,
+        model_task=model_task, p_noise=p_noise, seed=seed,
+        cache_dir=cache_dir, **kwargs)
+    return GraphDataLoader(
+        ds, batch_size=batch_size, mode=mode, num_devices=num_devices,
+        prefetch=prefetch, seed=seed)

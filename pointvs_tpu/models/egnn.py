@@ -1,0 +1,300 @@
+"""Satorras-style E(n)-equivariant GNN over padded graph batches.
+
+Numerical spec pinned to the reference (point_vs/models/geometric/
+egnn_satorras.py, cited per-method below) and verified by the ported
+invariance/consistency/attention test suite:
+
+- radial feature is the *squared* distance (ref :181);
+- optional coord_diff normalisation by the *detached* norm + 1e-8 (ref
+  :183-185 — reproduced with stop_gradient so backward matches too);
+- feature aggregation is a segment **sum** over incoming edges at the edge's
+  first index ("row" == senders here, ref :145-148);
+- coordinate update is a segment **mean** with count clamped >= 1 (ref
+  :168-176, :340-347);
+- softmax edge attention normalises per destination node (ref :139-143);
+- coord-MLP output layer is bias-free with xavier-uniform gain 0.001
+  (ref :88-89);
+- residual variants: plain / ReZero (gate init 0) / gated (gate init 0.5,
+  relu-clamped convex combination) for both nodes and edge messages
+  (ref :108-121, :158-165, :194-202).
+
+All ops run over static shapes; padding is handled by masks (see
+pointvs_tpu/data/buckets.py conventions).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from pointvs_tpu.data.buckets import GraphBatch
+from pointvs_tpu.models.layers import (
+    MLP,
+    TorchLinear,
+    activation,
+    xavier_uniform_gain,
+)
+from pointvs_tpu.ops.edge_dropout import undirected_edge_dropout
+from pointvs_tpu.ops.graphnorm import GraphNorm
+from pointvs_tpu.ops.segment import (
+    gather_nodes,
+    masked_graph_mean_pool,
+    masked_segment_mean,
+    masked_segment_softmax,
+    masked_segment_sum,
+)
+
+
+class EGNNLayer(nn.Module):
+    """One E(n)-GNN message-passing layer (ref EGNNLayer)."""
+    input_nf: int
+    output_nf: int
+    hidden_nf: int
+    edges_in_d: int = 0
+    act: str = 'silu'
+    residual: bool = True
+    edge_residual: bool = False
+    edge_attention: bool = False
+    normalize: bool = False
+    tanh: bool = False
+    graphnorm: bool = False
+    update_coords: bool = True
+    permutation_invariance: bool = False
+    node_attention: bool = False
+    attention_activation_fn: str = 'sigmoid'
+    gated_residual: bool = False
+    rezero: bool = False
+    softmax_attention: bool = False
+    epsilon: float = 1e-8
+
+    def setup(self):
+        assert not (self.gated_residual and self.rezero), \
+            'gated_residual and rezero are incompatible'
+        self.edge_mlp = MLP(
+            features=(self.hidden_nf, self.hidden_nf),
+            acts=(self.act, self.act), name='edge_mlp')
+        self.node_lin1 = TorchLinear(self.hidden_nf, name='node_lin1')
+        if self.graphnorm:
+            self.node_graphnorm = GraphNorm(self.hidden_nf,
+                                            name='node_graphnorm')
+        self.node_lin2 = TorchLinear(self.output_nf, name='node_lin2')
+        self.coord_mlp = MLP(
+            features=(self.hidden_nf, 1),
+            acts=(self.act, 'tanh' if self.tanh else 'identity'),
+            final_kernel_init=xavier_uniform_gain(0.001),
+            final_bias=False, name='coord_mlp')
+        if self.edge_attention:
+            self.att_mlp = TorchLinear(1, name='att_mlp')
+        if self.node_attention:
+            self.node_att_mlp = TorchLinear(1, name='node_att_mlp')
+        if self.rezero:
+            if self.edge_residual:
+                self.edge_gate = self.param(
+                    'edge_gate', nn.initializers.zeros, (1,))
+            if self.residual:
+                self.node_gate = self.param(
+                    'node_gate', nn.initializers.zeros, (1,))
+        elif self.gated_residual:
+            if self.edge_residual:
+                self.edge_gate = self.param(
+                    'edge_gate', lambda k, s: 0.5 * jnp.ones(s), (1,))
+            if self.residual:
+                self.node_gate = self.param(
+                    'node_gate', lambda k, s: 0.5 * jnp.ones(s), (1,))
+
+    def _attention_activation(self, logits, senders, num_nodes, edge_mask):
+        if self.softmax_attention:
+            return masked_segment_softmax(
+                logits, senders, num_nodes, mask=edge_mask)
+        return activation(self.attention_activation_fn)(logits)
+
+    def __call__(self, h, coord, edge_messages, senders, receivers,
+                 edge_attr, edge_mask, node_mask, graph_id, num_graphs,
+                 train: bool = False, capture_aux: bool = False
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
+                            Dict[str, Any]]:
+        num_nodes = h.shape[0]
+        aux: Dict[str, Any] = {}
+
+        # --- coord2radial (ref :178-187) ---
+        coord_s = gather_nodes(coord, senders)
+        coord_r = gather_nodes(coord, receivers)
+        coord_diff = coord_s - coord_r
+        radial = jnp.sum(coord_diff ** 2, axis=1, keepdims=True)
+        if self.normalize:
+            norm = jax.lax.stop_gradient(jnp.sqrt(radial)) + self.epsilon
+            coord_diff = coord_diff / norm
+
+        # --- edge model (ref :123-132) ---
+        h_s = gather_nodes(h, senders)
+        h_r = gather_nodes(h, receivers)
+        if self.permutation_invariance:
+            edge_in = [h_s + h_r, radial]
+        else:
+            edge_in = [h_s, h_r, radial]
+        if edge_attr is not None and self.edges_in_d:
+            edge_in.append(edge_attr)
+        edge_feat = self.edge_mlp(jnp.concatenate(edge_in, axis=1),
+                                  train=train)
+
+        # --- edge-message residual (ref :194-202) ---
+        if self.edge_residual and edge_messages is not None:
+            if self.rezero:
+                edge_feat = edge_messages + self.edge_gate * edge_feat
+            elif self.gated_residual:
+                gate = nn.relu(self.edge_gate)
+                edge_feat = gate * edge_feat + (1 - gate) * edge_messages
+            else:
+                edge_feat = edge_feat + edge_messages
+
+        # --- coord model (ref :168-176) ---
+        if self.update_coords:
+            trans = coord_diff * self.coord_mlp(edge_feat, train=train)
+            agg = masked_segment_mean(trans, senders, num_nodes,
+                                      mask=edge_mask)
+            coord = coord + agg
+        if capture_aux:
+            aux['intermediate_coords'] = coord
+
+        # --- node model (ref :134-166) ---
+        if self.edge_attention:
+            att_logits = self.att_mlp(edge_feat)
+            att_val = self._attention_activation(
+                att_logits, senders, num_nodes, edge_mask)
+            if capture_aux:
+                aux['att_val'] = att_val
+            messages = att_val * edge_feat
+        else:
+            messages = edge_feat
+        agg_feats = masked_segment_sum(messages, senders, num_nodes,
+                                       mask=edge_mask)
+        combined = jnp.concatenate([h, agg_feats], axis=1)
+        out = self.node_lin1(combined)
+        if self.graphnorm:
+            out = self.node_graphnorm(out, graph_id, num_graphs, node_mask)
+        out = activation(self.act)(out)
+        out = self.node_lin2(out)
+        if self.node_attention:
+            node_att = activation(self.attention_activation_fn)(
+                self.node_att_mlp(out))
+            out = out * node_att
+            if capture_aux:
+                aux['node_att_val'] = node_att
+        if self.residual:
+            if self.rezero:
+                out = h + self.node_gate * out
+            elif self.gated_residual:
+                gate = nn.relu(self.node_gate)
+                out = gate * out + (1 - gate) * h
+            else:
+                out = h + out
+
+        return out, coord, edge_feat, aux
+
+
+class SartorrasEGNN(nn.Module):
+    """Full network: input embedding + N EGNN layers + pooled FC head
+    (ref SartorrasEGNN.build_net, egnn_satorras.py:209-329)."""
+    dim_input: int
+    k: int
+    dim_output: int
+    num_layers: int = 4
+    act: str = 'silu'
+    residual: bool = True
+    edge_residual: bool = False
+    edge_attention: bool = False
+    normalize: bool = True
+    tanh: bool = True
+    dropout: float = 0.0
+    graphnorm: bool = True
+    multi_fc: bool = False
+    update_coords: bool = True
+    permutation_invariance: bool = False
+    attention_activation_fn: str = 'sigmoid'
+    node_attention: bool = False
+    gated_residual: bool = False
+    rezero: bool = False
+    model_task: str = 'classification'
+    include_strain_info: bool = False
+    final_softplus: bool = False
+    softmax_attention: bool = False
+
+    def _make_layers(self):
+        return [EGNNLayer(
+            input_nf=self.k, output_nf=self.k, hidden_nf=self.k,
+            edges_in_d=3, act=self.act, residual=self.residual,
+            edge_attention=self.edge_attention, normalize=self.normalize,
+            graphnorm=self.graphnorm, tanh=self.tanh,
+            update_coords=self.update_coords,
+            permutation_invariance=self.permutation_invariance,
+            attention_activation_fn=self.attention_activation_fn,
+            node_attention=self.node_attention,
+            edge_residual=self.edge_residual,
+            gated_residual=self.gated_residual, rezero=self.rezero,
+            softmax_attention=self.softmax_attention,
+            name=f'egnn_layer_{i}') for i in range(self.num_layers)]
+
+    def setup(self):
+        self.input_embed = TorchLinear(self.k, name='input_embed')
+        self.egnn_layers = self._make_layers()
+        head_in = self.k + (1 if self.include_strain_info else 0)
+        if self.multi_fc:
+            dims, acts = ((32, 16, self.dim_output),
+                          (self.act, self.act, 'identity'))
+        else:
+            dims, acts = (self.dim_output,), ('identity',)
+        if self.final_softplus:
+            acts = acts[:-1] + ('softplus',)
+        del head_in  # head input dim inferred by flax
+        self.head = MLP(features=dims, acts=acts, name='head')
+
+    def embed(self, batch: GraphBatch, train: bool = False,
+              capture_aux: bool = False):
+        """Input linear + message-passing stack -> node embeddings.
+
+        Equivalent of the reference's get_embeddings (ref :319-329),
+        including optional undirected edge dropout.
+        """
+        h = self.input_embed(batch.node_feats)
+        coord = batch.coords
+        edge_attr = batch.edge_attr
+        edge_mask = batch.edge_mask
+        if self.dropout > 0 and train:
+            seed = jax.random.randint(
+                self.make_rng('dropout'), (), 0, jnp.iinfo(jnp.int32).max)
+            edge_mask = undirected_edge_dropout(
+                batch.senders, batch.receivers, edge_mask, self.dropout,
+                seed.astype(jnp.uint32))
+        edge_messages = None
+        aux_layers = []
+        for layer in self.egnn_layers:
+            h, coord, edge_messages, aux = layer(
+                h, coord, edge_messages, batch.senders, batch.receivers,
+                edge_attr, edge_mask, batch.node_mask, batch.graph_id,
+                batch.num_graphs, train=train, capture_aux=capture_aux)
+            if capture_aux:
+                aux_layers.append(aux)
+        return h, edge_messages, aux_layers
+
+    def pool(self, h: jnp.ndarray, batch: GraphBatch) -> jnp.ndarray:
+        pooled = masked_graph_mean_pool(
+            h, batch.graph_id, batch.num_graphs, batch.node_mask)
+        if self.include_strain_info:
+            # dE appended to pooled features (the reference sized its head
+            # for this, egnn_satorras.py:302-303, but never wired the value
+            # through forward; here it is functional).
+            pooled = jnp.concatenate([pooled, batch.strain[:, :1]], axis=1)
+        return pooled
+
+    def __call__(self, batch: GraphBatch, train: bool = False,
+                 capture_aux: bool = False):
+        h, _, aux_layers = self.embed(batch, train=train,
+                                      capture_aux=capture_aux)
+        pooled = self.pool(h, batch)
+        out = self.head(pooled, train=train)
+        if capture_aux:
+            return out, {'layers': aux_layers, 'node_embeddings': h,
+                         'pooled': pooled}
+        return out

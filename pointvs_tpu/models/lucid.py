@@ -1,0 +1,255 @@
+"""Lucidrains-style EGNN ("lucid" model) over padded graph batches.
+
+Reference counterpart: point_vs/models/geometric/egnn_lucid.py (EGNN_Sparse +
+PygLucidEGNN). Key numerics:
+
+- coordinates ride in the first 3 columns of the node state (ref :123, :142);
+- squared-distance edge feature, optionally fourier-encoded (ref :126-131);
+- message input is [x_target, x_source, edge_attr, dist_features] and both
+  feature and coordinate aggregations are segment **means at the target
+  node** (pyg MessagePassing convention: x_i = x[edge_index[1]];
+  PygLucidEGNN passes aggr='mean', ref :233);
+- soft-edge sigmoid gating ("attention", ref :189-191), with an optional
+  thick (2-layer) attention MLP (ref :244-250);
+- CoorsNorm on relative coordinates (scale init 1e-2, ref :82-83);
+- pyg LayerNorm over each graph's nodes-and-channels jointly for
+  norm_feats (ref :80-81);
+- xavier-normal weights + zero biases everywhere (ref :102-107);
+- the reference's coor_weights_clamp is dead code (ctor overwrites it with
+  None, ref :58) so no clamp is applied here either.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from pointvs_tpu.data.buckets import GraphBatch
+from pointvs_tpu.models.layers import (
+    CoorsNorm,
+    MLP,
+    fourier_encode_dist,
+    xavier_normal,
+)
+from pointvs_tpu.ops.graphnorm import GraphNorm
+from pointvs_tpu.ops.segment import (
+    gather_nodes,
+    masked_graph_mean_pool,
+    masked_segment_mean,
+)
+
+
+class GraphLayerNorm(nn.Module):
+    """pyg-style LayerNorm: per graph, scalar mean/var over nodes x channels
+    (masked for padding)."""
+    features: int
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, graph_id, num_graphs, node_mask):
+        weight = self.param('weight', nn.initializers.ones, (self.features,))
+        bias = self.param('bias', nn.initializers.zeros, (self.features,))
+        ids = jnp.minimum(graph_id, num_graphs - 1)
+        # Scalar per-graph mean over all node-channel entries.
+        row_mean = jnp.mean(x, axis=-1, keepdims=True)  # [N, 1]
+        mean = masked_segment_mean(row_mean, graph_id, num_graphs,
+                                   mask=node_mask)
+        centred = x - mean[ids]
+        row_sq = jnp.mean(centred * centred, axis=-1, keepdims=True)
+        var = masked_segment_mean(row_sq, graph_id, num_graphs,
+                                  mask=node_mask)
+        out = centred / jnp.sqrt(var[ids] + self.eps)
+        return out * weight + bias
+
+
+def _lucid_mlp(features, acts, dropout_rate):
+    """Lucid MLPs put Dropout right after the first Linear and use
+    xavier_normal weights + zero biases."""
+    return MLP(features=features, acts=acts, dropout_rate=dropout_rate,
+               dropout_after=(0,), kernel_init=xavier_normal)
+
+
+class LucidEGNNLayer(nn.Module):
+    """EGNN_Sparse equivalent (ref egnn_lucid.py:17-205) with the
+    PygLucidEGNN.build_net rewiring (ref :211-288) applied directly."""
+    k: int
+    edge_attr_dim: int = 3
+    fourier_features: int = 0
+    soft_edge: bool = False
+    thick_attention: bool = False
+    norm_feats: bool = False
+    norm_coors: bool = False
+    update_coors: bool = True
+    dropout: float = 0.0
+    tanh: bool = True
+    thin_mlps: bool = False
+    graphnorm: bool = False
+    node_final_act: bool = False
+
+    def setup(self):
+        k = self.k
+        edge_input_dim = ((self.fourier_features * 2) + self.edge_attr_dim
+                          + 1 + k * 2)
+        self.edge_mlp = _lucid_mlp(
+            (edge_input_dim * 2, k), ('silu', 'silu'), self.dropout)
+        if self.soft_edge:
+            if self.thick_attention:
+                self.edge_weight = MLP(
+                    features=(k, 1), acts=('silu', 'sigmoid'),
+                    kernel_init=xavier_normal)
+            else:
+                self.edge_weight = MLP(
+                    features=(1,), acts=('sigmoid',),
+                    kernel_init=xavier_normal)
+        if self.norm_feats:
+            self.node_norm = GraphLayerNorm(k)
+        if self.norm_coors:
+            self.coors_norm = CoorsNorm()
+        # Node MLP (ref :252-271): thin = single linear (+opt GraphNorm);
+        # thick = 2k bottleneck with optional GraphNorm after dropout.
+        self.node_lin1 = nn.Dense(
+            k if self.thin_mlps else k * 2, kernel_init=xavier_normal,
+            bias_init=nn.initializers.zeros)
+        if self.graphnorm:
+            self.node_graphnorm = GraphNorm(
+                k if self.thin_mlps else k * 2)
+        if not self.thin_mlps:
+            self.node_lin2 = nn.Dense(
+                k, kernel_init=xavier_normal,
+                bias_init=nn.initializers.zeros)
+        if self.update_coors:
+            if self.thin_mlps:
+                self.coors_mlp = _lucid_mlp(
+                    (1,), ('tanh' if self.tanh else 'identity',),
+                    self.dropout)
+            else:
+                self.coors_mlp = _lucid_mlp(
+                    (k * 4, 1),
+                    ('silu', 'tanh' if self.tanh else 'identity'),
+                    self.dropout)
+
+    def __call__(self, h, batch: GraphBatch, edge_mask, train: bool = False,
+                 capture_aux: bool = False):
+        aux: Dict[str, Any] = {}
+        coors, feats = h[:, :3], h[:, 3:]
+        num_nodes = h.shape[0]
+        senders, receivers = batch.senders, batch.receivers
+
+        rel_coors = gather_nodes(coors, senders) - gather_nodes(
+            coors, receivers)
+        rel_dist = jnp.sum(rel_coors ** 2, axis=-1, keepdims=True)
+        if self.fourier_features > 0:
+            dist_feats = fourier_encode_dist(
+                rel_dist, num_encodings=self.fourier_features)
+        else:
+            dist_feats = rel_dist
+        edge_attr_feats = jnp.concatenate(
+            [batch.edge_attr, dist_feats], axis=-1)
+
+        # pyg convention: x_i = target (receivers), x_j = source (senders);
+        # aggregation lands on the target node.
+        x_i = gather_nodes(feats, receivers)
+        x_j = gather_nodes(feats, senders)
+        m_ij = self.edge_mlp(
+            jnp.concatenate([x_i, x_j, edge_attr_feats], axis=-1),
+            train=train)
+
+        if self.update_coors:
+            coor_wij = self.coors_mlp(m_ij, train=train)
+            if self.norm_coors:
+                rel_coors = self.coors_norm(rel_coors)
+            mhat_i = masked_segment_mean(
+                coor_wij * rel_coors, receivers, num_nodes, mask=edge_mask)
+            coors_out = coors + mhat_i
+        else:
+            coors_out = coors
+        if capture_aux:
+            aux['intermediate_coords'] = coors_out
+
+        if self.soft_edge:
+            att_val = self.edge_weight(m_ij, train=train)
+            m_ij = m_ij * att_val
+            if capture_aux:
+                aux['att_val'] = att_val
+        m_i = masked_segment_mean(m_ij, receivers, num_nodes, mask=edge_mask)
+
+        hidden_feats = (self.node_norm(feats, batch.graph_id,
+                                       batch.num_graphs, batch.node_mask)
+                        if self.norm_feats else feats)
+        out = self.node_lin1(
+            jnp.concatenate([hidden_feats, m_i], axis=-1))
+        if self.dropout > 0:
+            out = nn.Dropout(self.dropout, deterministic=not train)(out)
+        if self.graphnorm:
+            out = self.node_graphnorm(out, batch.graph_id, batch.num_graphs,
+                                      batch.node_mask)
+        if self.thin_mlps:
+            if self.node_final_act:
+                out = nn.silu(out)
+        else:
+            out = nn.silu(out)
+            out = self.node_lin2(out)
+            if self.node_final_act:
+                out = nn.silu(out)
+        hidden_out = feats + out
+
+        return jnp.concatenate([coors_out, hidden_out], axis=-1), aux
+
+
+class LucidEGNN(nn.Module):
+    """PygLucidEGNN equivalent: linear input embed on features (coords
+    carried alongside), N LucidEGNNLayers, mean pool + linear head."""
+    dim_input: int
+    k: int
+    dim_output: int
+    num_layers: int = 4
+    dropout: float = 0.0
+    norm_coords: bool = True
+    norm_feats: bool = True
+    fourier_features: int = 0
+    attention: bool = False
+    thick_attention: bool = False
+    tanh: bool = True
+    update_coords: bool = True
+    graphnorm: bool = False
+    thin_mlps: bool = False
+    node_final_act: bool = False
+    model_task: str = 'classification'
+
+    def setup(self):
+        self.input_embed = nn.Dense(self.k, kernel_init=xavier_normal,
+                                    bias_init=nn.initializers.zeros,
+                                    name='input_embed')
+        self.lucid_layers = [LucidEGNNLayer(
+            k=self.k, edge_attr_dim=3,
+            fourier_features=self.fourier_features,
+            soft_edge=self.attention, thick_attention=self.thick_attention,
+            norm_feats=self.norm_feats, norm_coors=self.norm_coords,
+            update_coors=self.update_coords, dropout=self.dropout,
+            tanh=self.tanh, thin_mlps=self.thin_mlps,
+            graphnorm=self.graphnorm, node_final_act=self.node_final_act,
+            name=f'lucid_layer_{i}') for i in range(self.num_layers)]
+        self.head = nn.Dense(self.dim_output, kernel_init=xavier_normal,
+                             bias_init=nn.initializers.zeros, name='head')
+
+    def __call__(self, batch: GraphBatch, train: bool = False,
+                 capture_aux: bool = False):
+        feats = self.input_embed(batch.node_feats)
+        h = jnp.concatenate([batch.coords, feats], axis=-1)
+        aux_layers = []
+        for layer in self.lucid_layers:
+            h, aux = layer(h, batch, batch.edge_mask, train=train,
+                           capture_aux=capture_aux)
+            if capture_aux:
+                aux_layers.append(aux)
+        node_embeddings = h[:, 3:]
+        pooled = masked_graph_mean_pool(
+            node_embeddings, batch.graph_id, batch.num_graphs,
+            batch.node_mask)
+        out = self.head(pooled)
+        if capture_aux:
+            return out, {'layers': aux_layers,
+                         'node_embeddings': node_embeddings,
+                         'pooled': pooled}
+        return out

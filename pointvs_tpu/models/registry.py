@@ -1,0 +1,33 @@
+"""Model registry and kwargs plumbing (ref point_vs.py:88-96, :189-221)."""
+from __future__ import annotations
+
+import inspect
+from typing import Any, Dict
+
+from pointvs_tpu.models.egnn import SartorrasEGNN
+from pointvs_tpu.models.lucid import LucidEGNN
+from pointvs_tpu.models.multitask import MultitaskSatorrasEGNN
+
+MODEL_REGISTRY = {
+    'egnn': SartorrasEGNN,
+    'lucid': LucidEGNN,
+    'multitask': MultitaskSatorrasEGNN,
+}
+
+
+def filter_model_kwargs(model_cls, kwargs: Dict[str, Any]) -> Dict[str, Any]:
+    """Keep only kwargs the model dataclass accepts (the reference passes a
+    flag soup into build_net(**kwargs) and relies on **kwargs swallowing
+    extras; flax dataclasses are strict, so we filter)."""
+    fields = set(inspect.signature(model_cls).parameters)
+    return {k: v for k, v in kwargs.items() if k in fields}
+
+
+def build_model(model_name: str, **model_kwargs):
+    """Instantiate a model by registry name with a permissive kwarg dict."""
+    if model_name not in MODEL_REGISTRY:
+        raise NotImplementedError(
+            f'model must be one of {sorted(MODEL_REGISTRY)}, '
+            f'got {model_name!r}')
+    model_cls = MODEL_REGISTRY[model_name]
+    return model_cls(**filter_model_kwargs(model_cls, model_kwargs))

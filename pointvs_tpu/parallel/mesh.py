@@ -1,0 +1,37 @@
+"""Device mesh construction and sharding helpers."""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def get_mesh(num_devices: Optional[int] = None,
+             devices: Optional[Sequence] = None,
+             axis_name: str = 'dp') -> Mesh:
+    """1-D data-parallel mesh over the first ``num_devices`` devices.
+
+    Graph-level data parallelism is the right first axis for this workload
+    (models are <10M params; ICI all-reduce of grads is tiny next to the
+    per-device compute). The mesh generalises to more axes later (graph
+    sharding for very large complexes).
+    """
+    if devices is None:
+        devices = jax.devices()
+    if num_devices is not None:
+        devices = devices[:num_devices]
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def replicate(tree, mesh: Mesh):
+    """Place a pytree fully replicated on the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.device_put(tree, sharding)
+
+
+def shard_batch(batch, mesh: Mesh, axis_name: str = 'dp'):
+    """Place a [D, ...]-stacked GraphBatch sharded over the mesh axis."""
+    sharding = NamedSharding(mesh, P(axis_name))
+    return jax.device_put(batch, sharding)
