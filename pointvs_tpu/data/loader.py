@@ -103,7 +103,9 @@ class GraphDataLoader:
                 samples, num_graphs=self.batch_size,
                 node_buckets=self.node_buckets,
                 edge_buckets=self.edge_buckets)
-            return batch, meta
+            # Leading device axis [1, ...] so train/eval steps see one
+            # layout regardless of mesh size.
+            return stack_device_batches([batch]), meta
 
         # Data-parallel: split graphs round-robin by size (largest first) so
         # per-device node/edge totals balance, then pad all shards to the
@@ -131,12 +133,18 @@ class GraphDataLoader:
         dummy = None
         batches = []
         for shard in shards:
-            if not shard:
+            is_dummy = not shard
+            if is_dummy:
                 if dummy is None:
                     dummy = _dummy_sample(samples[0])
                 shard = [dummy]
-            batches.append(pad_graphs_to_batch(
-                shard, num_graphs=per_dev, n_pad=n_pad, e_pad=e_pad))
+            shard_batch = pad_graphs_to_batch(
+                shard, num_graphs=per_dev, n_pad=n_pad, e_pad=e_pad)
+            if is_dummy:
+                # Placeholder graphs must not count as real examples.
+                shard_batch = shard_batch._replace(
+                    graph_mask=np.zeros_like(shard_batch.graph_mask))
+            batches.append(shard_batch)
         return stack_device_batches(batches), meta
 
     def _produce(self) -> Iterator[Tuple[GraphBatch, BatchMeta]]:

@@ -1,0 +1,68 @@
+"""Rebuild a Trainer from a saved run directory or checkpoint.
+
+Ref parity: point_vs/models/load_model.py — locate the latest checkpoint,
+read model_kwargs.yaml + cmd_args.yaml sidecars, reconstruct the model and
+restore weights + optimiser state + epoch counters.
+"""
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Optional, Tuple
+
+from pointvs_tpu.logging import get_logger
+from pointvs_tpu.utils import expand_path, find_latest_checkpoint, load_yaml
+
+LOG = get_logger('PointVS-TPU')
+
+
+def _resolve(weights_path) -> Tuple[Path, Path]:
+    """(checkpoint_path, run_root) from a run dir or checkpoint path."""
+    weights_path = expand_path(weights_path)
+    if (weights_path / 'checkpoints').is_dir() or not (
+            weights_path / '_CHECKPOINT_METADATA').exists():
+        try:
+            ckpt = find_latest_checkpoint(weights_path)
+        except FileNotFoundError:
+            if (weights_path / '_CHECKPOINT_METADATA').exists():
+                ckpt = weights_path
+            else:
+                raise
+    else:
+        ckpt = weights_path
+    # Run root holds model_kwargs.yaml: ckpt is <root>/checkpoints/<name>.
+    root = ckpt.parent
+    if root.name == 'checkpoints':
+        root = root.parent
+    return ckpt, root
+
+
+def load_model(weights_path, silent: bool = False,
+               init_path: bool = False, num_devices: Optional[int] = None):
+    """Returns (trainer, model_kwargs, cmd_args).
+
+    init_path=True re-opens the original run directory for continued
+    training (resume); otherwise the trainer is silent (no new sidecars).
+    """
+    from pointvs_tpu.training.engine import Trainer  # local: avoid cycle
+
+    ckpt, root = _resolve(weights_path)
+    model_kwargs = load_yaml(root / 'model_kwargs.yaml') or {}
+    cmd_args_path = root / 'cmd_args.yaml'
+    cmd_args = load_yaml(cmd_args_path) if cmd_args_path.exists() else {}
+
+    model_name = cmd_args.get('model', 'egnn')
+    trainer = Trainer(
+        model_name,
+        root if init_path else root,
+        cmd_args.get('learning_rate', 1e-3),
+        cmd_args.get('weight_decay', 1e-4),
+        use_1cycle=cmd_args.get('use_1cycle', False),
+        warm_restarts=cmd_args.get('warm_restarts', False),
+        only_save_best_models=cmd_args.get('only_save_best_models', False),
+        optimiser=cmd_args.get('optimiser', 'adam'),
+        regression_loss=cmd_args.get('regression_loss', 'mse'),
+        silent=not init_path,
+        num_devices=num_devices,
+        **model_kwargs)
+    trainer.load_weights(ckpt, silent=silent)
+    return trainer, model_kwargs, cmd_args

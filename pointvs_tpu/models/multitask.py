@@ -74,7 +74,13 @@ class MultitaskSatorrasEGNN(SartorrasEGNN):
         h, _, aux_layers = self.embed(batch, train=train,
                                       capture_aux=capture_aux)
         pooled = self.pool(h, batch)
-        if 'classification' in task:
+        if self.is_initializing():
+            # Materialise BOTH heads' params so a checkpoint trained on one
+            # task can continue on the other (set_task parity).
+            pose = self.head_pose(pooled, train=train)
+            affinity = self.head_affinity(pooled, train=train)
+            out = pose if 'classification' in task else affinity
+        elif 'classification' in task:
             out = self.head_pose(pooled, train=train)
         else:
             out = self.head_affinity(pooled, train=train)

@@ -1,0 +1,95 @@
+"""SPMD train and eval steps: shard_map over a ('dp',) mesh.
+
+One code path from 1 chip to a pod slice: the loader stacks per-device
+sub-batches along a leading axis [D, ...]; inside shard_map each device
+sees its own shard, computes grads of the *local loss sum*, psums grads and
+weights over ICI, and applies the optimiser to the global-mean gradient.
+Dividing psum(sum)/psum(weight) (rather than pmean of local means) keeps the
+loss exact when real-graph counts differ across devices due to padding.
+
+The learning rate enters as a traced scalar each step so host-side
+schedules (1cycle / warm restarts) never trigger recompiles.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from pointvs_tpu.training.losses import loss_fn
+
+
+def _squeeze_leading(tree):
+    return jax.tree.map(lambda x: x[0], tree)
+
+
+def make_train_step(model, tx, model_task: str, regression_loss: str,
+                    mesh: Mesh, axis_name: str = 'dp',
+                    multitask: bool = False) -> Callable:
+    """Returns jitted step(params, opt_state, batch[D,...], lr, rng) ->
+    (params, opt_state, loss)."""
+
+    apply_kwargs = {'task': model_task} if multitask else {}
+
+    def local_loss(params, batch, rng):
+        logits = model.apply(params, batch, train=True,
+                             rngs={'dropout': rng}, **apply_kwargs)
+        return loss_fn(logits, batch, model_task, regression_loss)
+
+    def device_step(params, opt_state, batch, lr, rng):
+        batch = _squeeze_leading(batch)
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
+
+        def sum_loss(p):
+            s, w = local_loss(p, batch, rng)
+            return s, w
+
+        (loss_sum, weight), grads = jax.value_and_grad(
+            sum_loss, has_aux=True)(params)
+        grads = jax.lax.psum(grads, axis_name)
+        loss_sum = jax.lax.psum(loss_sum, axis_name)
+        weight = jnp.maximum(jax.lax.psum(weight, axis_name), 1.0)
+        grads = jax.tree.map(lambda g: g / weight, grads)
+
+        updates, opt_state = tx.update(grads, opt_state, params)
+        updates = jax.tree.map(lambda u: -lr * u, updates)
+        params = jax.tree.map(lambda p, u: p + u, params, updates)
+        loss = loss_sum / weight
+        return params, opt_state, loss
+
+    sharded = shard_map(
+        device_step, mesh=mesh,
+        in_specs=(P(), P(), P(axis_name), P(), P()),
+        out_specs=(P(), P(), P()),
+        check_rep=False)
+
+    return jax.jit(sharded, donate_argnums=(0, 1))
+
+
+def make_eval_step(model, model_task: Optional[str], mesh: Mesh,
+                   axis_name: str = 'dp', multitask: bool = False
+                   ) -> Callable:
+    """Returns jitted step(params, batch[D,...]) -> logits [D, B/D, out].
+
+    (Attribution paths that need aux outputs call model.apply directly on a
+    single device instead — aux leaves have node/edge-shaped axes that do
+    not gather usefully across shards.)
+    """
+
+    apply_kwargs = {'task': model_task} if (multitask and model_task) else {}
+
+    def device_eval(params, batch):
+        batch = _squeeze_leading(batch)
+        out = model.apply(params, batch, train=False, **apply_kwargs)
+        return out[None]
+
+    sharded = shard_map(
+        device_eval, mesh=mesh,
+        in_specs=(P(), P(axis_name)),
+        out_specs=P(axis_name),
+        check_rep=False)
+    return jax.jit(sharded)

@@ -1,0 +1,397 @@
+"""Trainer: the train/eval engine.
+
+Behavioural counterpart of the reference's PointNeuralNetworkBase
+(point_vs/models/point_neural_network_base.py): epoch/batch training loop
+with per-batch LR scheduling, BCE / MSE / Huber / masked-3-target losses,
+gradient value clipping at 1.0, NaN-loss abort, incremental
+``<task>_predictions*.txt`` artefacts, top1/Pearson model selection for
+--only_save_best_models, per-epoch checkpoints with optimiser state and
+both (pose, affinity) epoch counters, and task switching via set_task.
+
+TPU-native differences:
+- the train step is one jit-compiled SPMD program (forward + backward +
+  optimiser) over a data-parallel device mesh — compiled once per batch
+  bucket shape;
+- checkpoints are orbax directories (not torch .pt);
+- progress is rich-rendered when attached to a tty, plain logs otherwise.
+"""
+from __future__ import annotations
+
+import math
+import time
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pointvs_tpu.analysis.top_n import top_n
+from pointvs_tpu.data.buckets import GraphBatch
+from pointvs_tpu.logging import get_logger
+from pointvs_tpu.models.registry import MODEL_REGISTRY, build_model, \
+    filter_model_kwargs
+from pointvs_tpu.parallel.mesh import get_mesh, replicate, shard_batch
+from pointvs_tpu.parallel.steps import make_eval_step, make_train_step
+from pointvs_tpu.training.checkpoints import restore_checkpoint, \
+    save_checkpoint
+from pointvs_tpu.training.metrics_logger import MetricsLogger
+from pointvs_tpu.training.optimisers import build_optimiser, make_lr_schedule
+from pointvs_tpu.utils import expand_path, format_time, \
+    get_regression_pearson, mkdir, save_yaml
+
+LOG = get_logger('PointVS-TPU')
+
+VALID_TASKS = ('classification', 'regression', 'multi_regression')
+
+
+def _dummy_batch(dim_input: int, num_graphs: int = 1) -> GraphBatch:
+    """Smallest valid batch for parameter initialisation."""
+    n, e = 8, 8
+    return GraphBatch(
+        node_feats=np.zeros((n, dim_input), np.float32),
+        coords=np.zeros((n, 3), np.float32),
+        node_mask=np.ones((n,), np.float32),
+        graph_id=np.zeros((n,), np.int32),
+        senders=np.arange(e, dtype=np.int32) % n,
+        receivers=(np.arange(e, dtype=np.int32) + 1) % n,
+        edge_attr=np.zeros((e, 3), np.float32),
+        edge_mask=np.ones((e,), np.float32),
+        y=np.zeros((num_graphs,), np.float32),
+        graph_mask=np.ones((num_graphs,), np.float32),
+        strain=np.zeros((num_graphs, 2), np.float32))
+
+
+class Trainer:
+    """Owns model + params + optimiser state and runs train/val loops."""
+
+    def __init__(self, model_name: str, save_path, learning_rate: float,
+                 weight_decay: Optional[float] = None,
+                 wandb_project: Optional[str] = None,
+                 wandb_run: Optional[str] = None, silent: bool = False,
+                 use_1cycle: bool = False, warm_restarts: bool = False,
+                 only_save_best_models: bool = False,
+                 optimiser: str = 'adam', regression_loss: str = 'mse',
+                 num_devices: Optional[int] = None, seed: int = 2,
+                 wandb_dir=None, **model_kwargs):
+        assert not (use_1cycle and warm_restarts), \
+            '1cycle and warm restarts are mutually exclusive'
+        self.model_name = model_name
+        self.multitask = model_name == 'multitask'
+        self.save_path = expand_path(save_path)
+        self.silent = silent
+        if not silent:
+            mkdir(self.save_path)
+        self.predictions_file = self.save_path / 'predictions.txt'
+
+        self.lr = learning_rate
+        self.weight_decay = weight_decay
+        self.use_1cycle = use_1cycle
+        self.warm_restarts = warm_restarts
+        self.only_save_best_models = only_save_best_models
+        self.optimiser_name = optimiser
+        self.regression_loss = regression_loss
+        self.model_kwargs = dict(model_kwargs)
+
+        self.set_task(model_kwargs.get('model_task', 'classification'))
+        self.p_epoch = 0
+        self.a_epoch = 0
+        self.global_iter = 0
+        self.test_metric = 0.0
+        self.log_interval = 10
+        self.decoy_mean_pred, self.active_mean_pred = 0.5, 0.5
+
+        self.mesh = get_mesh(num_devices)
+        self.num_devices = self.mesh.devices.size
+
+        self.model = build_model(model_name, **model_kwargs)
+        self.rng = jax.random.PRNGKey(seed)
+        dim_input = model_kwargs.get('dim_input', 12)
+        init_rng, self.rng = jax.random.split(self.rng)
+        params = self.model.init(
+            {'params': init_rng, 'dropout': init_rng},
+            _dummy_batch(dim_input))
+        self.tx = build_optimiser(optimiser, weight_decay)
+        opt_state = self.tx.init(params)
+        self.params = replicate(params, self.mesh)
+        self.opt_state = replicate(opt_state, self.mesh)
+
+        self._train_steps: Dict[str, Any] = {}
+        self._eval_steps: Dict[str, Any] = {}
+        self.scheduler = None
+        self._task_step_counter = {'classification': 0, 'regression': 0,
+                                   'multi_regression': 0}
+
+        if not silent:
+            save_yaml(self.model_kwargs, self.save_path / 'model_kwargs.yaml')
+        self.logger = MetricsLogger(
+            self.save_path, wandb_project=wandb_project, wandb_run=wandb_run,
+            wandb_dir=wandb_dir, config={**self.model_kwargs,
+                                         'model': model_name})
+        if not silent:
+            LOG.info(f'Model parameters: {self.param_count}')
+        self.logger.log({'Parameters': self.param_count})
+
+    # ------------------------------------------------------------------ #
+    @property
+    def param_count(self) -> int:
+        return int(sum(np.prod(p.shape)
+                       for p in jax.tree.leaves(self.params)))
+
+    def set_task(self, task: str):
+        if task not in VALID_TASKS:
+            raise ValueError('Argument for set_task must be one of '
+                             'classification, regression or multi_regression')
+        self.model_task = task
+        if 'regression' in task:
+            self.model_task_for_fnames = 'affinity'
+            self.model_task_string = 'Mean squared error'
+        else:
+            self.model_task_for_fnames = 'pose'
+            self.model_task_string = 'Binary crossentropy'
+
+    def _train_step(self):
+        key = self.model_task
+        if key not in self._train_steps:
+            self._train_steps[key] = make_train_step(
+                self.model, self.tx, key, self.regression_loss, self.mesh,
+                multitask=self.multitask)
+        return self._train_steps[key]
+
+    def _eval_step(self):
+        key = self.model_task
+        if key not in self._eval_steps:
+            self._eval_steps[key] = make_eval_step(
+                self.model, key, self.mesh, multitask=self.multitask)
+        return self._eval_steps[key]
+
+    # ------------------------------------------------------------------ #
+    def training_setup(self, data_loader, epochs: int,
+                       model_task: Optional[str] = None):
+        if model_task is not None:
+            self.set_task(model_task)
+        self.scheduler = make_lr_schedule(
+            self.lr, steps_per_epoch=len(data_loader), epochs=epochs,
+            use_1cycle=self.use_1cycle, warm_restarts=self.warm_restarts)
+        init_epoch = (self.a_epoch if 'regression' in self.model_task
+                      else self.p_epoch)
+        return init_epoch, time.time()
+
+    def train_model(self, data_loader, epochs: int = 1,
+                    epoch_end_validation_set=None, top1_on_end: bool = False):
+        """Epoch/batch loop (ref train_model :136-205)."""
+        init_epoch, start = self.training_setup(data_loader, epochs)
+        step_fn = self._train_step()
+        steps_per_epoch = len(data_loader)
+        total_steps = max(1, (epochs - init_epoch) * steps_per_epoch)
+        done_steps = 0
+        sched_step = init_epoch * steps_per_epoch
+
+        for epoch_idx in range(init_epoch, epochs):
+            epoch_start = time.time()
+            losses = []
+            for batch_idx, (batch, meta) in enumerate(data_loader):
+                lr_now = self.scheduler(sched_step)
+                step_rng = jax.random.fold_in(self.rng, self.global_iter)
+                batch_dev = shard_batch(batch, self.mesh)
+                self.params, self.opt_state, loss = step_fn(
+                    self.params, self.opt_state, batch_dev,
+                    jnp.float32(lr_now), step_rng)
+                sched_step += 1
+                self.global_iter += 1
+                done_steps += 1
+
+                loss_val = float(loss)
+                losses.append(loss_val)
+                if math.isnan(loss_val):
+                    LOG.error('We have hit a NaN loss value.')
+                    raise FloatingPointError(
+                        f'NaN loss at epoch {epoch_idx} batch {batch_idx}')
+
+                if not batch_idx % self.log_interval:
+                    elapsed = time.time() - start
+                    eta = elapsed / done_steps * (total_steps - done_steps)
+                    self.logger.log({
+                        f'Loss (train, {self.model_task_for_fnames})':
+                            loss_val,
+                        f'Learning rate (train, '
+                        f'{self.model_task_for_fnames})': lr_now,
+                        f'Batch (train, {self.model_task_for_fnames})':
+                            epoch_idx * steps_per_epoch + batch_idx + 1,
+                        f'Examples seen (train, '
+                        f'{self.model_task_for_fnames})':
+                            self.global_iter * data_loader.batch_size,
+                        f'Time remaining (train, '
+                        f'{self.model_task_for_fnames})': format_time(eta),
+                    })
+                    if not self.silent:
+                        LOG.info(
+                            f'Epoch {epoch_idx + 1}/{epochs} batch '
+                            f'{batch_idx + 1}/{steps_per_epoch} loss '
+                            f'{loss_val:.4f} lr {lr_now:.2e} eta '
+                            f'{format_time(eta)}')
+
+            if not self.silent:
+                LOG.info(
+                    f'Epoch {epoch_idx + 1} done in '
+                    f'{time.time() - epoch_start:.1f}s, mean loss '
+                    f'{np.mean(losses):.4f}')
+            self.on_epoch_end(epoch_end_validation_set, epochs, top1_on_end)
+
+    def on_epoch_end(self, epoch_end_validation_set, epochs: int,
+                     top1_on_end: bool):
+        """Per-epoch checkpoint + optional validation (ref :470-490)."""
+        if 'regression' in self.model_task:
+            self.a_epoch += 1
+            epoch = self.a_epoch
+        else:
+            self.p_epoch += 1
+            epoch = self.p_epoch
+        if not self.only_save_best_models:
+            self.save()
+        if epoch_end_validation_set is not None and epoch < epochs:
+            fname = Path(self.predictions_file.parent,
+                         f'predictions_epoch_{epoch}.txt')
+            best = self.val(epoch_end_validation_set,
+                            predictions_file=fname, top1_on_end=top1_on_end)
+            if self.only_save_best_models and best:
+                self.save()
+
+    # ------------------------------------------------------------------ #
+    def val(self, data_loader, predictions_file=None,
+            top1_on_end: bool = False) -> bool:
+        """Inference over a test loader; writes predictions artefact
+        (ref val :208-360). Returns True unless this is a
+        tracked-metric run that failed to improve."""
+        if predictions_file is None:
+            predictions_file = self.predictions_file
+        predictions_file = Path(predictions_file)
+        predictions_file = predictions_file.parent / (
+            f'{self.model_task_for_fnames}_{predictions_file.name}')
+        if predictions_file.is_file():
+            predictions_file.unlink()
+        mkdir(predictions_file.parent)
+
+        eval_fn = self._eval_step()
+        pending = ''
+        n_batches = len(data_loader)
+        for batch_idx, (batch, meta) in enumerate(data_loader):
+            batch_dev = shard_batch(batch, self.mesh)
+            logits = eval_fn(self.params, batch_dev)
+            logits = np.asarray(logits).reshape(-1, logits.shape[-1])
+            graph_mask = np.asarray(batch.graph_mask).reshape(-1)
+            y_true = np.asarray(batch.y).reshape(graph_mask.shape[0], -1)
+            real = graph_mask > 0
+
+            pending += self._format_predictions(
+                logits[real], y_true[real], meta)
+            self._update_mean_preds(logits[real], y_true[real])
+            if (not (batch_idx + 1) % self.log_interval
+                    or batch_idx == n_batches - 1):
+                with open(predictions_file, 'a', encoding='utf-8') as f:
+                    f.write(pending)
+                pending = ''
+        if pending:
+            with open(predictions_file, 'a', encoding='utf-8') as f:
+                f.write(pending)
+
+        if top1_on_end:
+            return self._score_and_track(predictions_file)
+        return True
+
+    def _format_predictions(self, logits: np.ndarray, y_true: np.ndarray,
+                            meta) -> str:
+        """Prediction-file rows, format-compatible with the reference
+        (ref val :287-319)."""
+        recs, ligs = meta.rec_fnames, meta.lig_fnames
+        lines = []
+        if self.model_task == 'classification':
+            preds = 1 / (1 + np.exp(-logits[:, 0]))
+            for i in range(len(preds)):
+                truth = y_true[i, 0]
+                if truth >= 0:
+                    lines.append(f'{int(truth):.3f} | {preds[i]:.3f} '
+                                 f'{recs[i]} {ligs[i]}')
+                else:
+                    lines.append(f'{preds[i]:.3f} | {recs[i]} {ligs[i]}')
+        elif self.model_task == 'multi_regression':
+            metric_names = np.array(['pki', 'pkd', 'ic50'])
+            for i in range(logits.shape[0]):
+                labelled = y_true[i] > -0.5
+                if labelled.any():
+                    for j in np.where(labelled)[0]:
+                        lines.append(
+                            f'{y_true[i, j]:.3f} | {logits[i, j]:.3f} '
+                            f'{recs[i]} {ligs[i]} | {metric_names[j]}')
+                else:
+                    lines.append(
+                        f'{logits[i, 0]:.3f} {logits[i, 1]:.3f} '
+                        f'{logits[i, 2]:.3f} | {recs[i]} {ligs[i]}')
+        else:
+            for i in range(logits.shape[0]):
+                truth = y_true[i, 0]
+                lines.append(f'{truth:.3f} | {logits[i, 0]:.3f} '
+                             f'{recs[i]} {ligs[i]}')
+        return '\n'.join(lines) + ('\n' if lines else '')
+
+    def _update_mean_preds(self, logits: np.ndarray, y_true: np.ndarray):
+        """Mean active/decoy predictions for observability (ref :387-415)."""
+        if self.model_task == 'classification':
+            preds = 1 / (1 + np.exp(-logits[:, 0]))
+            labels = y_true[:, 0]
+            actives, decoys = preds[labels > 0.5], preds[labels < 0.5]
+            if len(actives):
+                self.active_mean_pred = float(np.mean(actives))
+            if len(decoys):
+                self.decoy_mean_pred = float(np.mean(decoys))
+            self.logger.log({
+                'Mean active prediction (val)': self.active_mean_pred,
+                'Mean inactive prediction (val)': self.decoy_mean_pred})
+
+    def _score_and_track(self, predictions_file) -> bool:
+        """top1 / Pearson tracking for --only_save_best_models
+        (ref :330-359)."""
+        if self.model_task == 'classification':
+            metric = top_n(predictions_file)
+            best = metric > self.test_metric
+            if best:
+                self.test_metric = metric
+            self.logger.log({'Validation Top1': metric,
+                             'Best validation Top1': self.test_metric,
+                             'Epoch (pose)': self.p_epoch})
+        else:
+            r, p = get_regression_pearson(predictions_file)
+            best = p < 0.05 and r > self.test_metric
+            if best:
+                self.test_metric = r
+            self.logger.log({"Pearson's correlation coefficient": r,
+                             'Best PCC': self.test_metric,
+                             'Epoch (affinity)': self.a_epoch})
+        if self.only_save_best_models and not best:
+            return False
+        return True
+
+    # ------------------------------------------------------------------ #
+    def save(self, save_path=None) -> Path:
+        epoch = (self.a_epoch if 'regression' in self.model_task
+                 else self.p_epoch)
+        if save_path is None:
+            fname = f'{self.model_task_for_fnames}_ckpt_epoch_{epoch}'
+            save_path = self.save_path / 'checkpoints' / fname
+        path = save_checkpoint(
+            save_path, self.params, self.opt_state, self.p_epoch,
+            self.a_epoch, self.lr, self.weight_decay)
+        if not self.silent:
+            LOG.info(f'Saved checkpoint to {path}')
+        return path
+
+    def load_weights(self, checkpoint_file, silent: bool = False):
+        restored = restore_checkpoint(
+            checkpoint_file, self.params, self.opt_state)
+        self.params = replicate(restored['params'], self.mesh)
+        self.opt_state = replicate(restored['opt_state'], self.mesh)
+        meta = restored['meta']
+        self.p_epoch = int(meta['p_epoch'])
+        self.a_epoch = int(meta['a_epoch'])
+        if not silent:
+            LOG.info(f'Successfully loaded weights from {checkpoint_file}')

@@ -25,8 +25,14 @@ _loader_kwargs = dict(
 _dl_one = get_data_loader(batch_size=1, **_loader_kwargs)
 _dl_two = get_data_loader(batch_size=2, **_loader_kwargs)
 
-ORIGINAL_GRAPH, _ = next(iter(_dl_one))
-ORIGINAL_GRAPH_TWO_ITEMS, _ = next(iter(_dl_two))
+def _single_device(batch):
+    """Strip the loader's leading [D=1, ...] device axis for direct
+    model.apply use."""
+    return type(batch)(*[np.asarray(a)[0] for a in batch])
+
+
+ORIGINAL_GRAPH = _single_device(next(iter(_dl_one))[0])
+ORIGINAL_GRAPH_TWO_ITEMS = _single_device(next(iter(_dl_two))[0])
 
 
 def _rotated(batch):

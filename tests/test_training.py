@@ -1,0 +1,86 @@
+"""Engine tests: end-to-end training, DP parity across mesh sizes,
+checkpoint round-trip, multitask phase switching.
+
+These go beyond the reference suite (which had no trainer tests) — they are
+the multi-device gates SURVEY.md section 4 calls for.
+"""
+import numpy as np
+import pytest
+
+from pointvs_tpu.main import main as train_main
+
+TRAIN_FLAGS = [
+    '--train_data_root_pose', 'tests/resources',
+    '--train_types_pose', 'tests/resources/test.types',
+    '--test_data_root_pose', 'tests/resources',
+    '--test_types_pose', 'tests/resources/test.types',
+    '--layers', '2', '--egnn_attention', '--egnn_residual', '--egnn_tanh',
+    '--egnn_normalise', '--graphnorm', '--compact', '--prefetch', '0',
+]
+
+
+def _read_preds(path):
+    vals = []
+    with open(path) as f:
+        for line in f:
+            chunks = line.split()
+            if len(chunks) >= 3:
+                vals.append(float(chunks[2]))
+    return np.array(vals)
+
+
+def _run(tmp_path, name, extra):
+    save = str(tmp_path / name)
+    train_main(['egnn', save, *TRAIN_FLAGS, *extra])
+    return _read_preds(f'{save}/pose_predictions.txt')
+
+
+def test_train_and_dp_parity(tmp_path):
+    """1-device and 8-device training produce identical predictions: the
+    global-mean loss normalisation makes gradients independent of the
+    device layout."""
+    p1 = _run(tmp_path, 'run1', ['-ep', '2', '-b', '2', '--num_devices', '1'])
+    p8 = _run(tmp_path, 'run8', ['-ep', '2', '-b', '8', '--num_devices', '8'])
+    assert len(p1) == len(p8) == 2
+    np.testing.assert_allclose(p1, p8, atol=2e-4)
+
+
+def test_checkpoint_roundtrip_and_inference(tmp_path):
+    from pointvs_tpu.inference import main as infer_main
+    save = str(tmp_path / 'ckpt_run')
+    train_main(['egnn', save, *TRAIN_FLAGS, '-ep', '1', '-b', '2',
+                '--num_devices', '1'])
+    trained = _read_preds(f'{save}/pose_predictions.txt')
+    infer_main([save, 'tests/resources/test.types', 'tests/resources',
+                '--output_fname', 'roundtrip.txt'])
+    restored = _read_preds(f'{save}/pose_roundtrip.txt')
+    np.testing.assert_allclose(trained, restored, atol=1e-6)
+
+
+def test_multitask_both_phases(tmp_path):
+    """Pose then affinity training with the shared-trunk multitask model
+    (ref point_vs.py:256-271 sequential flow)."""
+    save = str(tmp_path / 'multitask_run')
+    train_main(['multitask', save,
+                '--train_data_root_pose', 'tests/resources',
+                '--train_types_pose', 'tests/resources/test.types',
+                '--train_data_root_affinity', 'tests/resources',
+                '--train_types_affinity', 'tests/resources/test.types',
+                '--model_task', 'both',
+                '--layers', '2', '-ep', '1', '-ea', '1', '-b', '2',
+                '--compact', '--egnn_attention', '--prefetch', '0',
+                '--num_devices', '1'])
+    import pathlib
+    ckpts = sorted(p.name for p in
+                   pathlib.Path(save, 'checkpoints').iterdir())
+    assert 'pose_ckpt_epoch_1' in ckpts
+    assert 'affinity_ckpt_epoch_1' in ckpts
+
+
+def test_nan_guard(tmp_path):
+    """A diverging LR must abort with the NaN guard rather than continue
+    silently (ref backprop :424-429)."""
+    save = str(tmp_path / 'nan_run')
+    with pytest.raises(FloatingPointError):
+        train_main(['egnn', save, *TRAIN_FLAGS, '-ep', '50', '-b', '2',
+                    '--num_devices', '1', '-lr', '1e12'])
