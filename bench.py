@@ -1,0 +1,212 @@
+#!/usr/bin/env python3
+"""Headline benchmark: EGNN pose-classification training throughput on
+small_chembl (the reference README example config: 3 layers, k=32, bs=32,
+default flags — ref README.md:54-66), measured on the default JAX backend
+(the real TPU chip under the driver).
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "graphs/s", "vs_baseline": N}
+
+vs_baseline is relative to the reference's CPU throughput on the same
+config. The reference publishes no numbers (BASELINE.md), so the baseline
+is *measured*: a minimal torch-CPU EGNN with identical math (dynamic
+shapes, scatter aggregation — how the reference runs) is timed once and
+cached in BASELINE_MEASURED.json.
+"""
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).parent
+BASELINE_FILE = REPO / 'BASELINE_MEASURED.json'
+CACHE_DIR = REPO / '.bench_cache'
+DATA_ROOT = Path('/root/reference/data/small_chembl_test')
+TYPES_FILE = Path('/root/reference/data/small_chembl_test.types')
+
+N_GRAPHS = 32
+LAYERS, K, DIM_INPUT = 3, 32, 22   # README example: non-compact 11*2 feats
+WARMUP_STEPS, TIMED_STEPS = 5, 30
+
+
+def load_samples():
+    """Preprocess N_GRAPHS complexes (disk-cached across runs)."""
+    from pointvs_tpu.data.dataset import PointCloudDataset
+    lines = TYPES_FILE.read_text().splitlines()
+    subset = ([l for l in lines if l.startswith('1')][:N_GRAPHS // 2]
+              + [l for l in lines if l.startswith('0')][:N_GRAPHS // 2])
+    subset_file = CACHE_DIR / 'subset.types'
+    CACHE_DIR.mkdir(exist_ok=True)
+    subset_file.write_text('\n'.join(subset) + '\n')
+    ds = PointCloudDataset(
+        DATA_ROOT, radius=10, polar_hydrogens=False, compact=False,
+        rot=False, types_fname=subset_file, edge_radius=4.0,
+        model_task='classification', cache_dir=CACHE_DIR)
+    return [ds[i] for i in range(len(ds))]
+
+
+def bench_tpu(samples) -> float:
+    """Our framework: jitted SPMD train step on the default backend."""
+    import jax
+    import jax.numpy as jnp
+    from pointvs_tpu.data.buckets import (
+        pad_graphs_to_batch, pick_bucket, stack_device_batches,
+        DEFAULT_NODE_BUCKETS, DEFAULT_EDGE_BUCKETS)
+    from pointvs_tpu.models import build_model
+    from pointvs_tpu.parallel.mesh import get_mesh, replicate, shard_batch
+    from pointvs_tpu.parallel.steps import make_train_step
+    from pointvs_tpu.training.optimisers import build_optimiser
+
+    total_nodes = sum(s.num_nodes for s in samples)
+    total_edges = sum(s.num_edges for s in samples)
+    n_pad = pick_bucket(total_nodes, DEFAULT_NODE_BUCKETS)
+    e_pad = pick_bucket(total_edges, DEFAULT_EDGE_BUCKETS)
+    batch = pad_graphs_to_batch(samples, num_graphs=N_GRAPHS,
+                                n_pad=n_pad, e_pad=e_pad)
+    stacked = stack_device_batches([batch])
+
+    model = build_model(
+        'egnn', dim_input=DIM_INPUT, k=K, dim_output=1, num_layers=LAYERS,
+        edge_attention=False, normalize=False, tanh=False, graphnorm=False,
+        residual=False)
+    params = model.init(jax.random.PRNGKey(0), batch)
+    tx = build_optimiser('adam', 1e-4)
+    opt_state = tx.init(params)
+    mesh = get_mesh(1)
+    params = replicate(params, mesh)
+    opt_state = replicate(opt_state, mesh)
+    step = make_train_step(model, tx, 'classification', 'mse', mesh)
+    dev_batch = shard_batch(stacked, mesh)
+    lr = jnp.float32(2e-3)
+    rng = jax.random.PRNGKey(1)
+
+    for _ in range(WARMUP_STEPS):
+        params, opt_state, loss = step(params, opt_state, dev_batch, lr, rng)
+    jax.block_until_ready(loss)
+    start = time.perf_counter()
+    for _ in range(TIMED_STEPS):
+        params, opt_state, loss = step(params, opt_state, dev_batch, lr, rng)
+    jax.block_until_ready(loss)
+    elapsed = time.perf_counter() - start
+    return len(samples) * TIMED_STEPS / elapsed
+
+
+def bench_torch_cpu(samples) -> float:
+    """Reference-style baseline: same EGNN math in torch on CPU with
+    dynamic shapes and scatter aggregation (how jscant/PointVS executes).
+    NOT part of the framework — exists purely to measure the baseline."""
+    import torch
+    from torch import nn
+    torch.manual_seed(0)
+
+    class RefLayer(nn.Module):
+        def __init__(self, k):
+            super().__init__()
+            self.edge_mlp = nn.Sequential(
+                nn.Linear(2 * k + 1 + 3, k), nn.SiLU(),
+                nn.Linear(k, k), nn.SiLU())
+            self.node_mlp = nn.Sequential(
+                nn.Linear(2 * k, k), nn.SiLU(), nn.Linear(k, k))
+            self.coord_mlp = nn.Sequential(
+                nn.Linear(k, k), nn.SiLU(), nn.Linear(k, 1, bias=False))
+
+        def forward(self, h, coord, rows, cols, eattr):
+            diff = coord[rows] - coord[cols]
+            radial = (diff ** 2).sum(1, keepdim=True)
+            m = self.edge_mlp(torch.cat([h[rows], h[cols], radial, eattr], 1))
+            trans = diff * self.coord_mlp(m)
+            agg_c = torch.zeros_like(coord).index_add_(0, rows, trans)
+            cnt = torch.zeros(coord.size(0), 1).index_add_(
+                0, rows, torch.ones(len(rows), 1)).clamp(min=1)
+            coord = coord + agg_c / cnt
+            agg = torch.zeros_like(h).index_add_(0, rows, m)
+            h = self.node_mlp(torch.cat([h, agg], 1))
+            return h, coord
+
+    class RefNet(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.embed = nn.Linear(DIM_INPUT, K)
+            self.layers = nn.ModuleList([RefLayer(K) for _ in range(LAYERS)])
+            self.head = nn.Linear(K, 1)
+
+        def forward(self, feats, coords, rows, cols, eattr, graph_id, n_g):
+            h = self.embed(feats)
+            c = coords
+            for layer in self.layers:
+                h, c = layer(h, c, rows, cols, eattr)
+            pooled = torch.zeros(n_g, K).index_add_(0, graph_id, h)
+            counts = torch.zeros(n_g, 1).index_add_(
+                0, graph_id, torch.ones(h.size(0), 1))
+            return self.head(pooled / counts.clamp(min=1)).reshape(-1)
+
+    # Concatenate into one dynamic batch (pyg-style).
+    feats, coords, rows, cols, eattr, gid, ys = [], [], [], [], [], [], []
+    off = 0
+    for i, s in enumerate(samples):
+        feats.append(s.node_feats)
+        coords.append(s.coords)
+        rows.append(s.senders + off)
+        cols.append(s.receivers + off)
+        eattr.append(s.edge_attr)
+        gid.append(np.full(s.num_nodes, i))
+        ys.append(float(s.y))
+        off += s.num_nodes
+    feats = torch.tensor(np.concatenate(feats))
+    coords = torch.tensor(np.concatenate(coords))
+    rows = torch.tensor(np.concatenate(rows), dtype=torch.long)
+    cols = torch.tensor(np.concatenate(cols), dtype=torch.long)
+    eattr = torch.tensor(np.concatenate(eattr))
+    gid = torch.tensor(np.concatenate(gid), dtype=torch.long)
+    y = torch.tensor(ys)
+
+    net = RefNet()
+    opt = torch.optim.Adam(net.parameters(), lr=2e-3, weight_decay=1e-4)
+    bce = nn.BCEWithLogitsLoss()
+
+    def one_step():
+        opt.zero_grad()
+        loss = bce(net(feats, coords, rows, cols, eattr, gid, len(samples)),
+                   y)
+        loss.backward()
+        nn.utils.clip_grad_value_(net.parameters(), 1.0)
+        opt.step()
+
+    one_step()  # warmup
+    n_steps = 5
+    start = time.perf_counter()
+    for _ in range(n_steps):
+        one_step()
+    elapsed = time.perf_counter() - start
+    return len(samples) * n_steps / elapsed
+
+
+def get_baseline(samples) -> float:
+    if BASELINE_FILE.exists():
+        return json.loads(BASELINE_FILE.read_text())['train_graphs_per_sec']
+    value = bench_torch_cpu(samples)
+    BASELINE_FILE.write_text(json.dumps({
+        'train_graphs_per_sec': value,
+        'config': f'EGNN {LAYERS} layers k={K} bs={N_GRAPHS} torch-cpu '
+                  f'README-example math, small_chembl subset',
+        'hardware': 'container CPU (1 core)'}, indent=2) + '\n')
+    return value
+
+
+def main():
+    samples = load_samples()
+    baseline = get_baseline(samples)
+    value = bench_tpu(samples)
+    print(json.dumps({
+        'metric': 'train_graphs_per_sec (EGNN pose, small_chembl)',
+        'value': round(value, 2),
+        'unit': 'graphs/s',
+        'vs_baseline': round(value / baseline, 2),
+    }))
+
+
+if __name__ == '__main__':
+    main()

@@ -108,7 +108,9 @@ class Trainer:
         self.rng = jax.random.PRNGKey(seed)
         dim_input = model_kwargs.get('dim_input', 12)
         init_rng, self.rng = jax.random.split(self.rng)
-        params = self.model.init(
+        # jit the init: eager init dispatches op-by-op, which is minutes
+        # over a remote-tunnel TPU backend.
+        params = jax.jit(self.model.init)(
             {'params': init_rng, 'dropout': init_rng},
             _dummy_batch(dim_input))
         self.tx = build_optimiser(optimiser, weight_decay)
