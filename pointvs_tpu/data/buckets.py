@@ -36,13 +36,17 @@ class GraphBatch(NamedTuple):
     coords: np.ndarray       # [N, 3] float32
     node_mask: np.ndarray    # [N]    float32 (1 = real node)
     graph_id: np.ndarray     # [N]    int32   (padding rows = B)
-    senders: np.ndarray      # [E]    int32   (aggregation destination, "row")
+    senders: np.ndarray      # [E]    int32   (aggregation destination, "row";
+                             #                 SORTED ascending, pads last)
     receivers: np.ndarray    # [E]    int32   ("col")
     edge_attr: np.ndarray    # [E, 3] float32
     edge_mask: np.ndarray    # [E]    float32 (1 = real edge)
     y: np.ndarray            # [B] or [B, 3] float32 targets
     graph_mask: np.ndarray   # [B]    float32 (1 = real graph)
     strain: np.ndarray       # [B, 2] float32 (dE, strain rmsd; zeros if n/a)
+    recv_perm: np.ndarray    # [E]    int32   permutation sorting receivers
+                             #                 (for receiver-side aggregation
+                             #                 on the MXU scatter path)
 
     @property
     def num_nodes(self) -> int:
@@ -176,8 +180,40 @@ def pad_graphs_to_batch(samples: Sequence[GraphSample],
         node_offset += n
         edge_offset += e
 
+    # Sort edges by destination (senders) — the MXU windowed-scatter path
+    # (ops/sorted_segment.py) requires it. Padding edges (id n_pad) sort
+    # to the end. recv_perm sorts by receivers for the mirror direction.
+    order = np.argsort(senders, kind='stable')
+    senders = senders[order]
+    receivers = receivers[order]
+    edge_attr = edge_attr[order]
+    edge_mask = edge_mask[order]
+    recv_perm = np.argsort(receivers, kind='stable').astype(np.int32)
+
+    _check_window_capacity(senders, receivers, n_pad, e_pad)
+
     return GraphBatch(node_feats, coords, node_mask, graph_id, senders,
-                      receivers, edge_attr, edge_mask, y, graph_mask, strain)
+                      receivers, edge_attr, edge_mask, y, graph_mask,
+                      strain, recv_perm)
+
+
+def _check_window_capacity(senders, receivers, n_pad: int, e_pad: int):
+    """The windowed scatter derives a static per-window edge capacity from
+    (e_pad, n_pad); verify the realised loads fit, loudly."""
+    from pointvs_tpu.ops.sorted_segment import WINDOW, derive_max_eb
+    cap = derive_max_eb(e_pad, n_pad)
+    for ids in (senders, receivers):
+        real = ids[ids < n_pad]
+        if not len(real):
+            continue
+        loads = np.bincount(real // WINDOW)
+        if loads.max() > cap:
+            raise ValueError(
+                f'Graph too dense for the windowed scatter: a {WINDOW}-node '
+                f'window has {loads.max()} incident edges but the derived '
+                f'capacity is {cap} (e_pad={e_pad}, n_pad={n_pad}). '
+                f'Increase the edge bucket (lower node bucket density) or '
+                f'raise ops.sorted_segment capacity.')
 
 
 def stack_device_batches(batches: Sequence[GraphBatch]) -> GraphBatch:

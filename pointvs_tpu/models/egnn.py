@@ -36,15 +36,10 @@ from pointvs_tpu.models.layers import (
     activation,
     xavier_uniform_gain,
 )
+from pointvs_tpu.ops.aggregate import EdgeAggregator
 from pointvs_tpu.ops.edge_dropout import undirected_edge_dropout
 from pointvs_tpu.ops.graphnorm import GraphNorm
-from pointvs_tpu.ops.segment import (
-    gather_nodes,
-    masked_graph_mean_pool,
-    masked_segment_mean,
-    masked_segment_softmax,
-    masked_segment_sum,
-)
+from pointvs_tpu.ops.segment import masked_graph_mean_pool
 
 
 class EGNNLayer(nn.Module):
@@ -104,23 +99,21 @@ class EGNNLayer(nn.Module):
                 self.node_gate = self.param(
                     'node_gate', lambda k, s: 0.5 * jnp.ones(s), (1,))
 
-    def _attention_activation(self, logits, senders, num_nodes, edge_mask):
+    def _attention_activation(self, logits, agg: EdgeAggregator, edge_mask):
         if self.softmax_attention:
-            return masked_segment_softmax(
-                logits, senders, num_nodes, mask=edge_mask)
+            return agg.softmax_src(logits, mask=edge_mask)
         return activation(self.attention_activation_fn)(logits)
 
-    def __call__(self, h, coord, edge_messages, senders, receivers,
+    def __call__(self, h, coord, edge_messages, agg: EdgeAggregator,
                  edge_attr, edge_mask, node_mask, graph_id, num_graphs,
                  train: bool = False, capture_aux: bool = False
                  ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
                             Dict[str, Any]]:
-        num_nodes = h.shape[0]
         aux: Dict[str, Any] = {}
 
         # --- coord2radial (ref :178-187) ---
-        coord_s = gather_nodes(coord, senders)
-        coord_r = gather_nodes(coord, receivers)
+        coord_s = agg.gather_src(coord)
+        coord_r = agg.gather_dst(coord)
         coord_diff = coord_s - coord_r
         radial = jnp.sum(coord_diff ** 2, axis=1, keepdims=True)
         if self.normalize:
@@ -128,8 +121,8 @@ class EGNNLayer(nn.Module):
             coord_diff = coord_diff / norm
 
         # --- edge model (ref :123-132) ---
-        h_s = gather_nodes(h, senders)
-        h_r = gather_nodes(h, receivers)
+        h_s = agg.gather_src(h)
+        h_r = agg.gather_dst(h)
         if self.permutation_invariance:
             edge_in = [h_s + h_r, radial]
         else:
@@ -152,24 +145,20 @@ class EGNNLayer(nn.Module):
         # --- coord model (ref :168-176) ---
         if self.update_coords:
             trans = coord_diff * self.coord_mlp(edge_feat, train=train)
-            agg = masked_segment_mean(trans, senders, num_nodes,
-                                      mask=edge_mask)
-            coord = coord + agg
+            coord = coord + agg.mean_to_src(trans, mask=edge_mask)
         if capture_aux:
             aux['intermediate_coords'] = coord
 
         # --- node model (ref :134-166) ---
         if self.edge_attention:
             att_logits = self.att_mlp(edge_feat)
-            att_val = self._attention_activation(
-                att_logits, senders, num_nodes, edge_mask)
+            att_val = self._attention_activation(att_logits, agg, edge_mask)
             if capture_aux:
                 aux['att_val'] = att_val
             messages = att_val * edge_feat
         else:
             messages = edge_feat
-        agg_feats = masked_segment_sum(messages, senders, num_nodes,
-                                       mask=edge_mask)
+        agg_feats = agg.sum_to_src(messages, mask=edge_mask)
         combined = jnp.concatenate([h, agg_feats], axis=1)
         out = self.node_lin1(combined)
         if self.graphnorm:
@@ -267,11 +256,14 @@ class SartorrasEGNN(nn.Module):
             edge_mask = undirected_edge_dropout(
                 batch.senders, batch.receivers, edge_mask, self.dropout,
                 seed.astype(jnp.uint32))
+        agg = EdgeAggregator(batch.senders, batch.receivers,
+                             batch.recv_perm, edge_mask,
+                             num_nodes=batch.node_feats.shape[0])
         edge_messages = None
         aux_layers = []
         for layer in self.egnn_layers:
             h, coord, edge_messages, aux = layer(
-                h, coord, edge_messages, batch.senders, batch.receivers,
+                h, coord, edge_messages, agg,
                 edge_attr, edge_mask, batch.node_mask, batch.graph_id,
                 batch.num_graphs, train=train, capture_aux=capture_aux)
             if capture_aux:

@@ -32,12 +32,9 @@ from pointvs_tpu.models.layers import (
     fourier_encode_dist,
     xavier_normal,
 )
-from pointvs_tpu.ops.graphnorm import GraphNorm
-from pointvs_tpu.ops.segment import (
-    gather_nodes,
-    masked_graph_mean_pool,
-    masked_segment_mean,
-)
+from pointvs_tpu.ops.aggregate import EdgeAggregator
+from pointvs_tpu.ops.graphnorm import GraphNorm, _masked_graph_mean
+from pointvs_tpu.ops.segment import masked_graph_mean_pool
 
 
 class GraphLayerNorm(nn.Module):
@@ -53,12 +50,10 @@ class GraphLayerNorm(nn.Module):
         ids = jnp.minimum(graph_id, num_graphs - 1)
         # Scalar per-graph mean over all node-channel entries.
         row_mean = jnp.mean(x, axis=-1, keepdims=True)  # [N, 1]
-        mean = masked_segment_mean(row_mean, graph_id, num_graphs,
-                                   mask=node_mask)
+        mean = _masked_graph_mean(row_mean, graph_id, num_graphs, node_mask)
         centred = x - mean[ids]
         row_sq = jnp.mean(centred * centred, axis=-1, keepdims=True)
-        var = masked_segment_mean(row_sq, graph_id, num_graphs,
-                                  mask=node_mask)
+        var = _masked_graph_mean(row_sq, graph_id, num_graphs, node_mask)
         out = centred / jnp.sqrt(var[ids] + self.eps)
         return out * weight + bias
 
@@ -129,15 +124,13 @@ class LucidEGNNLayer(nn.Module):
                     ('silu', 'tanh' if self.tanh else 'identity'),
                     self.dropout)
 
-    def __call__(self, h, batch: GraphBatch, edge_mask, train: bool = False,
+    def __call__(self, h, batch: GraphBatch, agg: EdgeAggregator,
+                 edge_mask, train: bool = False,
                  capture_aux: bool = False):
         aux: Dict[str, Any] = {}
         coors, feats = h[:, :3], h[:, 3:]
-        num_nodes = h.shape[0]
-        senders, receivers = batch.senders, batch.receivers
 
-        rel_coors = gather_nodes(coors, senders) - gather_nodes(
-            coors, receivers)
+        rel_coors = agg.gather_src(coors) - agg.gather_dst(coors)
         rel_dist = jnp.sum(rel_coors ** 2, axis=-1, keepdims=True)
         if self.fourier_features > 0:
             dist_feats = fourier_encode_dist(
@@ -149,8 +142,8 @@ class LucidEGNNLayer(nn.Module):
 
         # pyg convention: x_i = target (receivers), x_j = source (senders);
         # aggregation lands on the target node.
-        x_i = gather_nodes(feats, receivers)
-        x_j = gather_nodes(feats, senders)
+        x_i = agg.gather_dst(feats)
+        x_j = agg.gather_src(feats)
         m_ij = self.edge_mlp(
             jnp.concatenate([x_i, x_j, edge_attr_feats], axis=-1),
             train=train)
@@ -159,8 +152,7 @@ class LucidEGNNLayer(nn.Module):
             coor_wij = self.coors_mlp(m_ij, train=train)
             if self.norm_coors:
                 rel_coors = self.coors_norm(rel_coors)
-            mhat_i = masked_segment_mean(
-                coor_wij * rel_coors, receivers, num_nodes, mask=edge_mask)
+            mhat_i = agg.mean_to_dst(coor_wij * rel_coors, mask=edge_mask)
             coors_out = coors + mhat_i
         else:
             coors_out = coors
@@ -172,7 +164,7 @@ class LucidEGNNLayer(nn.Module):
             m_ij = m_ij * att_val
             if capture_aux:
                 aux['att_val'] = att_val
-        m_i = masked_segment_mean(m_ij, receivers, num_nodes, mask=edge_mask)
+        m_i = agg.mean_to_dst(m_ij, mask=edge_mask)
 
         hidden_feats = (self.node_norm(feats, batch.graph_id,
                                        batch.num_graphs, batch.node_mask)
@@ -237,9 +229,12 @@ class LucidEGNN(nn.Module):
                  capture_aux: bool = False):
         feats = self.input_embed(batch.node_feats)
         h = jnp.concatenate([batch.coords, feats], axis=-1)
+        agg = EdgeAggregator(batch.senders, batch.receivers,
+                             batch.recv_perm, batch.edge_mask,
+                             num_nodes=h.shape[0])
         aux_layers = []
         for layer in self.lucid_layers:
-            h, aux = layer(h, batch, batch.edge_mask, train=train,
+            h, aux = layer(h, batch, agg, batch.edge_mask, train=train,
                            capture_aux=capture_aux)
             if capture_aux:
                 aux_layers.append(aux)

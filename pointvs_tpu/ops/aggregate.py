@@ -1,0 +1,131 @@
+"""EdgeAggregator: all per-edge gather/aggregate ops for one graph batch,
+routed through the MXU windowed-scatter path (ops/sorted_segment.py).
+
+Every operation here has BOTH a fast forward and a fast backward on TPU:
+gathers use custom VJPs whose transposes are windowed one-hot matmuls, and
+segment sums are windowed matmuls whose transposes are gathers. Nothing on
+the hot path emits an XLA scatter.
+
+Conventions as in data/buckets.py: `senders` sorted ascending with padding
+rows == num_nodes; `recv_perm` sorts `receivers`.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from pointvs_tpu.ops.sorted_segment import (
+    gather_by_sorted_ids,
+    windowed_segment_max,
+    windowed_segment_sum,
+)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _gather_unsorted(node_values, ids, ids_sorted_with_perm, num_segments):
+    """node_values[ids] for UNSORTED ids; backward scatters via the
+    provided (perm, sorted_ids) pair instead of XLA's gather transpose."""
+    del ids_sorted_with_perm
+    clamped = jnp.minimum(ids, num_segments - 1)
+    valid = ids < num_segments
+    out = node_values[clamped]
+    return out * (valid[:, None] if out.ndim > 1 else valid).astype(
+        out.dtype)
+
+
+def _gu_fwd(node_values, ids, ids_sorted_with_perm, num_segments):
+    return _gather_unsorted(node_values, ids, ids_sorted_with_perm,
+                            num_segments), ids_sorted_with_perm
+
+
+def _gu_bwd(num_segments, res, g):
+    perm, sorted_ids = res
+    d_nodes = windowed_segment_sum(g[perm], sorted_ids, num_segments)
+    return d_nodes, None, None
+
+
+_gather_unsorted.defvjp(_gu_fwd, _gu_bwd)
+
+
+class EdgeAggregator:
+    """Bound to one batch's edge layout; stateless wrt model params."""
+
+    def __init__(self, senders, receivers, recv_perm, edge_mask,
+                 num_nodes: int):
+        self.senders = senders
+        self.receivers = receivers
+        self.recv_perm = recv_perm
+        self.edge_mask = edge_mask
+        self.num_nodes = num_nodes
+        # receivers in sorted order (gather: cheap, done once per step)
+        self.receivers_sorted = jnp.sort(receivers) if recv_perm is None \
+            else receivers[recv_perm]
+
+    # -- gathers ------------------------------------------------------- #
+    def gather_src(self, h):
+        return gather_by_sorted_ids(h, self.senders, self.num_nodes)
+
+    def gather_dst(self, h):
+        return _gather_unsorted(
+            h, self.receivers, (self.recv_perm, self.receivers_sorted),
+            self.num_nodes)
+
+    # -- aggregations to the SOURCE index (satorras convention) -------- #
+    def _masked(self, data, mask):
+        if mask is None:
+            mask = self.edge_mask
+        if mask is None:
+            return data
+        return data * (mask[:, None] if data.ndim > 1 else mask)
+
+    def sum_to_src(self, data, mask=None):
+        return windowed_segment_sum(
+            self._masked(data, mask), self.senders, self.num_nodes)
+
+    def mean_to_src(self, data, mask=None):
+        mask = self.edge_mask if mask is None else mask
+        total = self.sum_to_src(data, mask)
+        counts = windowed_segment_sum(mask, self.senders, self.num_nodes)
+        denom = jnp.maximum(counts, 1.0)
+        return total / (denom[:, None] if data.ndim > 1 else denom)
+
+    def softmax_src(self, logits, mask=None):
+        """Softmax per destination node over incoming edges; masked edges
+        get exactly 0 (test_attention gate)."""
+        mask = self.edge_mask if mask is None else mask
+        squeeze = logits.ndim == 2 and logits.shape[-1] == 1
+        flat = logits[:, 0] if squeeze else logits
+        guarded = jnp.where(mask > 0, flat, -1e30) if mask is not None \
+            else flat
+        seg_max = windowed_segment_max(guarded, self.senders,
+                                       self.num_nodes)
+        seg_max = jnp.where(seg_max > -1e29, seg_max, 0.0)
+        # stop_gradient on the gathered shift: the max is a constant offset
+        # for softmax, and killing its cotangent here avoids a scatter.
+        shift = jax.lax.stop_gradient(
+            seg_max[jnp.minimum(self.senders, self.num_nodes - 1)])
+        expd = jnp.exp(flat - shift)
+        if mask is not None:
+            expd = expd * mask
+        denom = windowed_segment_sum(expd, self.senders, self.num_nodes)
+        denom_e = gather_by_sorted_ids(
+            jnp.maximum(denom, 1e-16), self.senders, self.num_nodes)
+        # padding edges gathered a masked 0/0 guard; their expd is 0 anyway
+        out = expd / jnp.where(denom_e == 0, 1.0, denom_e)
+        return out[:, None] if squeeze else out
+
+    # -- aggregations to the DESTINATION index (pyg/lucid convention) -- #
+    def sum_to_dst(self, data, mask=None):
+        data = self._masked(data, mask)
+        return windowed_segment_sum(
+            data[self.recv_perm], self.receivers_sorted, self.num_nodes)
+
+    def mean_to_dst(self, data, mask=None):
+        mask = self.edge_mask if mask is None else mask
+        total = self.sum_to_dst(data, mask)
+        counts = windowed_segment_sum(
+            mask[self.recv_perm], self.receivers_sorted, self.num_nodes)
+        denom = jnp.maximum(counts, 1.0)
+        return total / (denom[:, None] if data.ndim > 1 else denom)

@@ -99,6 +99,14 @@ def masked_segment_softmax(logits: jnp.ndarray, segment_ids: jnp.ndarray,
 def masked_graph_mean_pool(node_values: jnp.ndarray, graph_id: jnp.ndarray,
                            num_graphs: int,
                            node_mask: jnp.ndarray) -> jnp.ndarray:
-    """Per-graph mean over real nodes (pyg global_mean_pool equivalent)."""
-    return masked_segment_mean(node_values, graph_id, num_graphs,
-                               mask=node_mask)
+    """Per-graph mean over real nodes (pyg global_mean_pool equivalent).
+
+    Dense one-hot matmul: the graph axis is a batch size, so [N, B]^T @
+    [N, K] runs on the MXU and its transpose under grad is another matmul
+    (no XLA scatter on the training hot path).
+    """
+    from pointvs_tpu.ops.sorted_segment import dense_graph_segment_sum
+    total = dense_graph_segment_sum(node_values, graph_id, num_graphs,
+                                    mask=node_mask)
+    counts = dense_graph_segment_sum(node_mask, graph_id, num_graphs)
+    return total / jnp.maximum(counts, 1.0)[:, None]

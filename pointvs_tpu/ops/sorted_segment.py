@@ -1,0 +1,193 @@
+"""MXU-friendly segment ops over destination-sorted edge lists.
+
+Why: XLA lowers scatter-add (both `jax.ops.segment_sum` under grad and the
+transpose of gather) to a serialized per-row update on TPU when it cannot
+prove anything about the indices — measured ~5.5 ms for 156k x 32 rows on
+one v5e chip, which dominated the training step. This module replaces every
+hot scatter with dense one-hot matmuls over small node windows, which run
+on the MXU at full tilt:
+
+- edges are sorted by destination id at collation time (buckets.py), so
+  the edges landing in a window of `WINDOW` consecutive node ids occupy one
+  contiguous slice of the edge array;
+- per window: slice up to `max_eb` edges, build a [max_eb, WINDOW] one-hot
+  of local ids, and matmul with the edge data -> the window's [WINDOW, K]
+  output rows. No write conflicts across windows -> fully parallel vmap.
+- `max_eb` is derived from the (static) padded shapes, so jit sees a
+  constant; the collator *verifies* the true per-window load fits
+  (buckets.pad_graphs_to_batch) and fails loudly otherwise.
+
+Backward passes are cheap by construction: the VJP of the windowed sum is
+a gather, and gathers that need scatter VJPs are wrapped in custom_vjp
+that reuse the windowed sum.
+
+All matmuls use precision=HIGHEST so fp32 data is not silently truncated
+to bf16 (the E(3)-invariance gate is 3e-5).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+WINDOW = 128
+_PRECISION = jax.lax.Precision.HIGHEST
+
+
+def derive_max_eb(num_edges: int, num_segments: int,
+                  window: int = WINDOW) -> int:
+    """Static per-window edge capacity from padded shapes: twice the mean
+    window load, at least 1024, rounded to a power of two."""
+    mean_load = window * num_edges / max(num_segments, 1)
+    need = max(1024, int(2 * mean_load))
+    cap = 1
+    while cap < need:
+        cap *= 2
+    return min(cap, _pow2ceil(num_edges))
+
+
+def _pow2ceil(x: int) -> int:
+    c = 1
+    while c < x:
+        c *= 2
+    return c
+
+
+def _window_starts(sorted_ids: jnp.ndarray, num_segments: int,
+                   window: int) -> jnp.ndarray:
+    nb = -(-num_segments // window)
+    return jnp.searchsorted(
+        sorted_ids, jnp.arange(nb, dtype=sorted_ids.dtype) * window)
+
+
+def _wss_impl(data: jnp.ndarray, sorted_ids: jnp.ndarray,
+              num_segments: int, window: int, max_eb: int) -> jnp.ndarray:
+    squeeze = data.ndim == 1
+    if squeeze:
+        data = data[:, None]
+    e, k = data.shape
+    nb = -(-num_segments // window)
+    starts = _window_starts(sorted_ids, num_segments, window)
+    # Pad so dynamic_slice never clamps (clamping would misalign ids/data).
+    data_p = jnp.concatenate(
+        [data, jnp.zeros((max_eb, k), data.dtype)])
+    ids_p = jnp.concatenate(
+        [sorted_ids,
+         jnp.full((max_eb,), num_segments, sorted_ids.dtype)])
+
+    local_iota = jnp.arange(window, dtype=sorted_ids.dtype)
+
+    def one_window(j, start):
+        d = jax.lax.dynamic_slice(data_p, (start, 0), (max_eb, k))
+        ids = jax.lax.dynamic_slice(ids_p, (start,), (max_eb,))
+        local = ids - j * window
+        onehot = (local[:, None] == local_iota[None, :]).astype(data.dtype)
+        return jnp.matmul(onehot.T, d, precision=_PRECISION)
+
+    out = jax.vmap(one_window)(
+        jnp.arange(nb, dtype=sorted_ids.dtype), starts)
+    out = out.reshape(nb * window, k)[:num_segments]
+    return out[:, 0] if squeeze else out
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def windowed_segment_sum(data, sorted_ids, num_segments: int,
+                         window: int = WINDOW,
+                         max_eb: int | None = None):
+    """segment_sum(data, sorted_ids) for ids sorted ascending; padding rows
+    must carry id == num_segments (they are dropped)."""
+    if max_eb is None:
+        max_eb = derive_max_eb(data.shape[0], num_segments, window)
+    return _wss_impl(data, sorted_ids, num_segments, window, max_eb)
+
+
+def _wss_fwd(data, sorted_ids, num_segments, window, max_eb):
+    if max_eb is None:
+        max_eb = derive_max_eb(data.shape[0], num_segments, window)
+    return _wss_impl(data, sorted_ids, num_segments, window, max_eb), \
+        sorted_ids
+
+
+def _wss_bwd(num_segments, window, max_eb, sorted_ids, g):
+    # d(data)[e] = g[ids[e]]; out-of-range (padding) ids contribute 0.
+    clamped = jnp.minimum(sorted_ids, num_segments - 1)
+    valid = (sorted_ids < num_segments)
+    if g.ndim == 1:
+        d_data = g[clamped] * valid.astype(g.dtype)
+    else:
+        d_data = g[clamped] * valid[:, None].astype(g.dtype)
+    return d_data, None
+
+
+windowed_segment_sum.defvjp(_wss_fwd, _wss_bwd)
+
+
+def windowed_segment_max(values: jnp.ndarray, sorted_ids: jnp.ndarray,
+                         num_segments: int, window: int = WINDOW,
+                         max_eb: int | None = None,
+                         initial: float = -1e30) -> jnp.ndarray:
+    """Per-segment max of a [E] vector (no gradient — used only for the
+    numerically stabilising shift inside segment softmax)."""
+    if max_eb is None:
+        max_eb = derive_max_eb(values.shape[0], num_segments, window)
+    values = jax.lax.stop_gradient(values)
+    nb = -(-num_segments // window)
+    starts = _window_starts(sorted_ids, num_segments, window)
+    vals_p = jnp.concatenate(
+        [values, jnp.full((max_eb,), initial, values.dtype)])
+    ids_p = jnp.concatenate(
+        [sorted_ids, jnp.full((max_eb,), num_segments, sorted_ids.dtype)])
+    local_iota = jnp.arange(window, dtype=sorted_ids.dtype)
+
+    def one_window(j, start):
+        v = jax.lax.dynamic_slice(vals_p, (start,), (max_eb,))
+        ids = jax.lax.dynamic_slice(ids_p, (start,), (max_eb,))
+        local = ids - j * window
+        hit = local[:, None] == local_iota[None, :]
+        return jnp.max(jnp.where(hit, v[:, None], initial), axis=0)
+
+    out = jax.vmap(one_window)(
+        jnp.arange(nb, dtype=sorted_ids.dtype), starts)
+    return out.reshape(nb * window)[:num_segments]
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def gather_by_sorted_ids(node_values, sorted_ids, num_segments: int):
+    """node_values[ids] whose backward is the windowed (MXU) scatter
+    rather than XLA's serialized transpose-of-gather."""
+    clamped = jnp.minimum(sorted_ids, num_segments - 1)
+    valid = sorted_ids < num_segments
+    out = node_values[clamped]
+    return out * (valid[:, None] if out.ndim > 1 else valid).astype(
+        out.dtype)
+
+
+def _gsi_fwd(node_values, sorted_ids, num_segments):
+    return gather_by_sorted_ids(node_values, sorted_ids, num_segments), \
+        sorted_ids
+
+
+def _gsi_bwd(num_segments, sorted_ids, g):
+    return windowed_segment_sum(g, sorted_ids, num_segments), None
+
+
+gather_by_sorted_ids.defvjp(_gsi_fwd, _gsi_bwd)
+
+
+def dense_graph_segment_sum(node_values: jnp.ndarray, graph_id: jnp.ndarray,
+                            num_graphs: int,
+                            mask: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Per-graph sums as a dense one-hot matmul — num_graphs is small
+    (batch size), so [N, B] one-hot x [N, K] is an MXU-sized product with
+    a fast (matmul) transpose under grad."""
+    squeeze = node_values.ndim == 1
+    if squeeze:
+        node_values = node_values[:, None]
+    onehot = (graph_id[:, None] ==
+              jnp.arange(num_graphs, dtype=graph_id.dtype)[None, :]
+              ).astype(node_values.dtype)
+    if mask is not None:
+        onehot = onehot * mask[:, None]
+    out = jnp.matmul(onehot.T, node_values, precision=_PRECISION)
+    return out[:, 0] if squeeze else out

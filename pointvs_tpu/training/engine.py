@@ -59,7 +59,8 @@ def _dummy_batch(dim_input: int, num_graphs: int = 1) -> GraphBatch:
         edge_mask=np.ones((e,), np.float32),
         y=np.zeros((num_graphs,), np.float32),
         graph_mask=np.ones((num_graphs,), np.float32),
-        strain=np.zeros((num_graphs, 2), np.float32))
+        strain=np.zeros((num_graphs, 2), np.float32),
+        recv_perm=np.argsort((np.arange(e) + 1) % n).astype(np.int32))
 
 
 class Trainer:
@@ -76,6 +77,9 @@ class Trainer:
                  wandb_dir=None, **model_kwargs):
         assert not (use_1cycle and warm_restarts), \
             '1cycle and warm restarts are mutually exclusive'
+        from pointvs_tpu.compile_cache import \
+            enable_persistent_compilation_cache
+        enable_persistent_compilation_cache()
         self.model_name = model_name
         self.multitask = model_name == 'multitask'
         self.save_path = expand_path(save_path)
