@@ -164,6 +164,19 @@ def attribute(method: str, model_path, output_dir, rec=None, lig=None,
     scored.to_csv(csv_path, index=False)
     LOG.info(f'Per-atom scores written to {csv_path}')
 
+    # Precision/recall of the attribution against interaction labels
+    # (ref attribution.py:211-240; geometric labels when PLIP is absent).
+    if 'attribution' in scored and (scored.bp == 0).any() \
+            and (scored.bp == 1).any():
+        from pointvs_tpu.attribution.plip_subclasses import \
+            attribution_precision_recall
+        ap, random_baseline, labelled = attribution_precision_recall(scored)
+        if np.isfinite(ap):
+            LOG.info(f'Attribution average precision vs interaction '
+                     f'labels: {ap:.4f} (random {random_baseline:.4f})')
+            labelled.to_csv(
+                Path(output_dir) / f'{method}_labelled.csv', index=False)
+
     if write_pdb and Path(rec).suffix == '.pdb':
         colour_b_factors_pdb(
             rec, Path(output_dir) / f'{method}_bfactors.pdb', scored)
