@@ -117,6 +117,9 @@ def parse_args(argv=None):
     parser.add_argument('--seed', type=int, default=2)
     parser.add_argument('--profile', action='store_true',
                         help='Write a jax.profiler trace of a few steps')
+    parser.add_argument('--debug_nans', action='store_true',
+                        help='Enable jax debug_nans (errors at the first '
+                             'NaN-producing op instead of the loss guard)')
     return parser.parse_args(argv)
 
 

@@ -111,6 +111,8 @@ def main(argv=None):
 
     if args.double:
         jax.config.update('jax_enable_x64', True)
+    if args.debug_nans:
+        jax.config.update('jax_debug_nans', True)
 
     if args.load_args is not None:
         for key, value in load_yaml(args.load_args).items():
@@ -155,7 +157,8 @@ def main(argv=None):
         warm_restarts=args.warm_restarts,
         only_save_best_models=args.only_save_best_models,
         regression_loss=args.regression_loss, optimiser=args.optimiser,
-        num_devices=num_devices, seed=args.seed, **model_kwargs)
+        num_devices=num_devices, seed=args.seed, profile=args.profile,
+        **model_kwargs)
 
     if args.load_weights is not None:
         trainer.load_weights(args.load_weights)

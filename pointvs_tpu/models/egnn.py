@@ -209,6 +209,9 @@ class SartorrasEGNN(nn.Module):
     include_strain_info: bool = False
     final_softplus: bool = False
     softmax_attention: bool = False
+    # Graph-sharded (edge-parallel) mode: name of the mesh axis the edge
+    # list is sharded over; aggregations psum partial node sums across it.
+    edge_shard_axis: Optional[str] = None
 
     def _make_layers(self):
         return [EGNNLayer(
@@ -258,7 +261,8 @@ class SartorrasEGNN(nn.Module):
                 seed.astype(jnp.uint32))
         agg = EdgeAggregator(batch.senders, batch.receivers,
                              batch.recv_perm, edge_mask,
-                             num_nodes=batch.node_feats.shape[0])
+                             num_nodes=batch.node_feats.shape[0],
+                             axis_name=self.edge_shard_axis)
         edge_messages = None
         aux_layers = []
         for layer in self.egnn_layers:

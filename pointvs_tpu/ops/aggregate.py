@@ -50,18 +50,36 @@ _gather_unsorted.defvjp(_gu_fwd, _gu_bwd)
 
 
 class EdgeAggregator:
-    """Bound to one batch's edge layout; stateless wrt model params."""
+    """Bound to one batch's edge layout; stateless wrt model params.
+
+    With ``axis_name`` set, the edge list is assumed sharded across that
+    mesh axis (node arrays replicated): every aggregation psums its
+    partial node sums over ICI — edge-parallel ("graph-sharded") message
+    passing for complexes too large for one device, the analogue of
+    sequence/context parallelism for ~10^3+-node graphs.
+    """
 
     def __init__(self, senders, receivers, recv_perm, edge_mask,
-                 num_nodes: int):
+                 num_nodes: int, axis_name: str | None = None):
         self.senders = senders
         self.receivers = receivers
         self.recv_perm = recv_perm
         self.edge_mask = edge_mask
         self.num_nodes = num_nodes
+        self.axis_name = axis_name
         # receivers in sorted order (gather: cheap, done once per step)
         self.receivers_sorted = jnp.sort(receivers) if recv_perm is None \
             else receivers[recv_perm]
+
+    def _psum(self, x):
+        if self.axis_name is None:
+            return x
+        return jax.lax.psum(x, self.axis_name)
+
+    def _pmax(self, x):
+        if self.axis_name is None:
+            return x
+        return jax.lax.pmax(x, self.axis_name)
 
     # -- gathers ------------------------------------------------------- #
     def gather_src(self, h):
@@ -81,13 +99,14 @@ class EdgeAggregator:
         return data * (mask[:, None] if data.ndim > 1 else mask)
 
     def sum_to_src(self, data, mask=None):
-        return windowed_segment_sum(
-            self._masked(data, mask), self.senders, self.num_nodes)
+        return self._psum(windowed_segment_sum(
+            self._masked(data, mask), self.senders, self.num_nodes))
 
     def mean_to_src(self, data, mask=None):
         mask = self.edge_mask if mask is None else mask
         total = self.sum_to_src(data, mask)
-        counts = windowed_segment_sum(mask, self.senders, self.num_nodes)
+        counts = self._psum(windowed_segment_sum(
+            mask, self.senders, self.num_nodes))
         denom = jnp.maximum(counts, 1.0)
         return total / (denom[:, None] if data.ndim > 1 else denom)
 
@@ -99,8 +118,8 @@ class EdgeAggregator:
         flat = logits[:, 0] if squeeze else logits
         guarded = jnp.where(mask > 0, flat, -1e30) if mask is not None \
             else flat
-        seg_max = windowed_segment_max(guarded, self.senders,
-                                       self.num_nodes)
+        seg_max = self._pmax(windowed_segment_max(
+            guarded, self.senders, self.num_nodes))
         seg_max = jnp.where(seg_max > -1e29, seg_max, 0.0)
         # stop_gradient on the gathered shift: the max is a constant offset
         # for softmax, and killing its cotangent here avoids a scatter.
@@ -109,7 +128,8 @@ class EdgeAggregator:
         expd = jnp.exp(flat - shift)
         if mask is not None:
             expd = expd * mask
-        denom = windowed_segment_sum(expd, self.senders, self.num_nodes)
+        denom = self._psum(windowed_segment_sum(
+            expd, self.senders, self.num_nodes))
         denom_e = gather_by_sorted_ids(
             jnp.maximum(denom, 1e-16), self.senders, self.num_nodes)
         # padding edges gathered a masked 0/0 guard; their expd is 0 anyway
@@ -119,13 +139,13 @@ class EdgeAggregator:
     # -- aggregations to the DESTINATION index (pyg/lucid convention) -- #
     def sum_to_dst(self, data, mask=None):
         data = self._masked(data, mask)
-        return windowed_segment_sum(
-            data[self.recv_perm], self.receivers_sorted, self.num_nodes)
+        return self._psum(windowed_segment_sum(
+            data[self.recv_perm], self.receivers_sorted, self.num_nodes))
 
     def mean_to_dst(self, data, mask=None):
         mask = self.edge_mask if mask is None else mask
         total = self.sum_to_dst(data, mask)
-        counts = windowed_segment_sum(
-            mask[self.recv_perm], self.receivers_sorted, self.num_nodes)
+        counts = self._psum(windowed_segment_sum(
+            mask[self.recv_perm], self.receivers_sorted, self.num_nodes))
         denom = jnp.maximum(counts, 1.0)
         return total / (denom[:, None] if data.ndim > 1 else denom)

@@ -74,7 +74,7 @@ class Trainer:
                  only_save_best_models: bool = False,
                  optimiser: str = 'adam', regression_loss: str = 'mse',
                  num_devices: Optional[int] = None, seed: int = 2,
-                 wandb_dir=None, **model_kwargs):
+                 wandb_dir=None, profile: bool = False, **model_kwargs):
         assert not (use_1cycle and warm_restarts), \
             '1cycle and warm restarts are mutually exclusive'
         from pointvs_tpu.compile_cache import \
@@ -88,6 +88,8 @@ class Trainer:
             mkdir(self.save_path)
         self.predictions_file = self.save_path / 'predictions.txt'
 
+        self.profile = profile
+        self._profiling = False
         self.lr = learning_rate
         self.weight_decay = weight_decay
         self.use_1cycle = use_1cycle
@@ -197,6 +199,17 @@ class Trainer:
             epoch_start = time.time()
             losses = []
             for batch_idx, (batch, meta) in enumerate(data_loader):
+                # Profiling window: trace steps 3-8 of the first epoch
+                # (past compiles) to <save_path>/profile for tensorboard/
+                # xprof (SURVEY.md section 5.1 tracing subsystem).
+                if self.profile and epoch_idx == init_epoch:
+                    if batch_idx == 3 and not self._profiling:
+                        jax.profiler.start_trace(
+                            str(self.save_path / 'profile'))
+                        self._profiling = True
+                    elif batch_idx == 8 and self._profiling:
+                        jax.profiler.stop_trace()
+                        self._profiling = False
                 lr_now = self.scheduler(sched_step)
                 step_rng = jax.random.fold_in(self.rng, self.global_iter)
                 batch_dev = shard_batch(batch, self.mesh)
@@ -237,6 +250,9 @@ class Trainer:
                             f'{loss_val:.4f} lr {lr_now:.2e} eta '
                             f'{format_time(eta)}')
 
+            if self._profiling:  # short epochs: close the trace window
+                jax.profiler.stop_trace()
+                self._profiling = False
             if not self.silent:
                 LOG.info(
                     f'Epoch {epoch_idx + 1} done in '
