@@ -102,8 +102,15 @@ def make_box(struct: pd.DataFrame, radius: float = 4,
         lig_rows = struct[struct.bp == 0].copy()
         rec_rows = struct[struct.bp == 1].copy().reset_index(drop=True)
         if len(rec_rows) and len(lig_rows):
-            dists = _pairwise_distances(lig_xyz, rec_xyz)
-            keep = np.where((dists < radius).any(axis=0))[0]
+            keep = None
+            try:
+                from pointvs_tpu.native.build import native_box_filter
+                keep = native_box_filter(lig_xyz, rec_xyz, radius)
+            except Exception:  # native path is best-effort
+                keep = None
+            if keep is None:
+                dists = _pairwise_distances(lig_xyz, rec_xyz)
+                keep = np.where((dists < radius).any(axis=0))[0]
             rec_rows = rec_rows.iloc[keep]
         elif not len(lig_rows):
             rec_rows = rec_rows.iloc[:0]
@@ -145,6 +152,20 @@ def generate_edges(struct: pd.DataFrame, inter_radius: float = 4.0,
         struct['bp'] = (struct['atom_id'] <= 2).astype(int)
 
     bp = struct.bp.to_numpy()
+
+    # Native C++ fast path (identical semantics, golden-tested).
+    try:
+        from pointvs_tpu.native.build import native_radius_edges
+        native = native_radius_edges(coords, bp, inter_radius,
+                                     intra_radius, prune)
+    except Exception:
+        native = None
+    if native is not None:
+        rows, cols, attrs, keep_mask = native
+        if prune and not keep_mask.all():
+            struct = struct[keep_mask].reset_index(drop=True)
+        return struct, (rows.astype(np.int64), cols.astype(np.int64)), \
+            attrs.astype('int32')
     dists = _pairwise_distances(coords, coords)
     nontrivial = dists > 1e-7
 
@@ -225,6 +246,18 @@ def centre_on_ligand(struct: pd.DataFrame) -> pd.DataFrame:
     return struct
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=64)
+def _read_parquet_cached(path_str: str) -> pd.DataFrame:
+    """In-memory structure cache: receptors are shared by every ligand in
+    a screen (the reference re-read the receptor parquet per item,
+    data_loaders.py:268-269 — the single biggest host cost at TPU
+    throughputs). Callers must copy before mutating."""
+    return pd.read_parquet(path_str)
+
+
 def concat_structs(rec, lig, n_features: int, min_lig_rotation: float = 0,
                    parsers=None, extended: bool = False,
                    synth_pharm: bool = False, rng=None) -> pd.DataFrame:
@@ -239,8 +272,8 @@ def concat_structs(rec, lig, n_features: int, min_lig_rotation: float = 0,
     min_rot_rads = np.pi * min_lig_rotation / 180
 
     if parsers is None:
-        lig_struct = pd.read_parquet(lig)
-        rec_struct = pd.read_parquet(rec)
+        lig_struct = _read_parquet_cached(str(lig))
+        rec_struct = _read_parquet_cached(str(rec))
     else:
         lig_struct = parsers[0].file_to_parquets(lig, add_polar_hydrogens=True)
         rec_struct = parsers[1].file_to_parquets(rec, add_polar_hydrogens=True)
