@@ -1,0 +1,106 @@
+"""Pallas TPU kernel for the windowed (destination-sorted) segment sum.
+
+Same contract as ops/sorted_segment._wss_impl: edges sorted by id, padding
+ids == num_segments, per-window capacity max_eb. One grid program per node
+window:
+
+- the window's edge offset arrives via scalar prefetch (searchsorted runs
+  outside the kernel);
+- edge data is laid out feature-major [K, E] so the DMA'd slice
+  [K, max_eb] is lane-aligned (Mosaic requires the sliced minor dim to be
+  a multiple of 128; max_eb always is, K=32 is not);
+- the [WINDOW, max_eb] local one-hot is built from a broadcasted iota and
+  contracted against the data slice on the MXU;
+- each window owns its output rows exclusively — no synchronisation.
+
+The XLA vmap+dynamic_slice formulation in ops/sorted_segment stays the
+default and the numerical reference; this kernel is selected with
+POINTVS_PALLAS=1 and parity is pinned in interpret mode by the tests.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(starts_ref, ids_ref, data_t_ref, out_ref,
+            data_scratch, ids_scratch, sems, *, window: int, max_eb: int):
+    j = pl.program_id(0)
+    # starts are pre-aligned down to multiples of 128 (Mosaic must prove
+    # DMA slice offsets divide the lane tiling).
+    start = pl.multiple_of(starts_ref[j], 128)
+
+    data_cp = pltpu.make_async_copy(
+        data_t_ref.at[:, pl.ds(start, max_eb)], data_scratch, sems.at[0])
+    ids_cp = pltpu.make_async_copy(
+        ids_ref.at[:, pl.ds(start, max_eb)], ids_scratch, sems.at[1])
+    data_cp.start()
+    ids_cp.start()
+    data_cp.wait()
+    ids_cp.wait()
+
+    local = ids_scratch[0:1, :] - j * window       # [1, max_eb]
+    win_iota = jax.lax.broadcasted_iota(
+        jnp.int32, (window, max_eb), 0)
+    onehot = (win_iota == local).astype(data_scratch.dtype)
+    # out[w, k] = sum_e onehot[w, e] * data_t[k, e]. HIGHEST precision:
+    # the default MXU path rounds f32 inputs to bf16, which fails the
+    # 3e-5 invariance gates.
+    out_ref[:] = jax.lax.dot_general(
+        onehot, data_scratch[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+
+
+@functools.partial(jax.jit, static_argnames=('num_segments', 'window',
+                                             'max_eb', 'interpret'))
+def pallas_windowed_segment_sum(data: jnp.ndarray, sorted_ids: jnp.ndarray,
+                                num_segments: int, window: int,
+                                max_eb: int,
+                                interpret: bool = False) -> jnp.ndarray:
+    """[E, K] edge data + ascending ids -> [num_segments, K] sums."""
+    e, k = data.shape
+    nb = -(-num_segments // window)
+    # Align window offsets down to 128 and grow the slice by 128 so the
+    # true window content always fits.
+    starts = jnp.searchsorted(
+        sorted_ids, jnp.arange(nb, dtype=jnp.int32) * window
+    ).astype(jnp.int32)
+    starts = (starts // 128) * 128
+    max_eb = max_eb + 128
+    # Feature-major layout, padded so dynamic slices never clamp; padding
+    # ids fall outside every window.
+    data_t = jnp.concatenate(
+        [data, jnp.zeros((max_eb, k), data.dtype)]).T
+    ids_p = jnp.broadcast_to(
+        jnp.concatenate([sorted_ids.astype(jnp.int32),
+                         jnp.full((max_eb,), num_segments, jnp.int32)]
+                        )[None, :], (8, e + max_eb))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),   # ids  [8, E+max_eb]
+            pl.BlockSpec(memory_space=pltpu.ANY),   # data [K, E+max_eb]
+        ],
+        out_specs=pl.BlockSpec((window, k), lambda j, starts: (j, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((k, max_eb), data.dtype),
+            pltpu.VMEM((8, max_eb), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_kernel, window=window, max_eb=max_eb),
+        out_shape=jax.ShapeDtypeStruct((nb * window, k), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(starts, ids_p, data_t)
+    return out[:num_segments]

@@ -26,6 +26,7 @@ to bf16 (the E(3)-invariance gate is 3e-5).
 """
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -33,6 +34,17 @@ import jax.numpy as jnp
 
 WINDOW = 128
 _PRECISION = jax.lax.Precision.HIGHEST
+
+
+def _use_pallas() -> bool:
+    """Pallas kernel for the forward scatter on TPU (2x the XLA windowed
+    formulation on v5e); opt out with POINTVS_PALLAS=0."""
+    if os.environ.get('POINTVS_PALLAS', '1') == '0':
+        return False
+    try:
+        return jax.default_backend() == 'tpu'
+    except RuntimeError:
+        return False
 
 
 def derive_max_eb(num_edges: int, num_segments: int,
@@ -66,6 +78,24 @@ def _wss_impl(data: jnp.ndarray, sorted_ids: jnp.ndarray,
     squeeze = data.ndim == 1
     if squeeze:
         data = data[:, None]
+    # Feature dim must respect the f32 sublane tile (8) for the kernel's
+    # feature-major DMA; narrow data (coords [E,3], counts [E,1]) takes
+    # the XLA path.
+    if _use_pallas() and data.shape[0] >= 4 * window \
+            and data.dtype == jnp.float32 and data.shape[1] % 8 == 0:
+        from pointvs_tpu.ops.pallas.segment_kernels import \
+            pallas_windowed_segment_sum
+
+        # Pallas TPU does not auto-batch ANY-space refs: under vmap
+        # (attribution's chunked masked forwards) fall back to a
+        # sequential map over the batch.
+        @jax.custom_batching.sequential_vmap
+        def _run(d, ids):
+            return pallas_windowed_segment_sum(
+                d, ids, num_segments, window, max_eb)
+
+        out = _run(data, sorted_ids)
+        return out[:, 0] if squeeze else out
     e, k = data.shape
     nb = -(-num_segments // window)
     starts = _window_starts(sorted_ids, num_segments, window)
