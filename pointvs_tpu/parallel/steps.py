@@ -71,20 +71,30 @@ def make_train_step(model, tx, model_task: str, regression_loss: str,
 
 
 def make_eval_step(model, model_task: Optional[str], mesh: Mesh,
-                   axis_name: str = 'dp', multitask: bool = False
-                   ) -> Callable:
+                   axis_name: str = 'dp', multitask: bool = False,
+                   use_fused: bool = True) -> Callable:
     """Returns jitted step(params, batch[D,...]) -> logits [D, B/D, out].
 
-    (Attribution paths that need aux outputs call model.apply directly on a
-    single device instead — aux leaves have node/edge-shaped axes that do
-    not gather usefully across shards.)
+    Inference goes through the fused Pallas engine when the model/shape
+    supports it (pointvs_tpu/inference_engine.py), falling back to
+    model.apply otherwise. (Attribution paths that need aux outputs call
+    model.apply directly on a single device instead — aux leaves have
+    node/edge-shaped axes that do not gather usefully across shards.)
     """
 
     apply_kwargs = {'task': model_task} if (multitask and model_task) else {}
+    # Fusion amortises its input-staging overhead over depth: measured
+    # 1.34x for 12-layer attention configs, but a loss for <=3 tiny
+    # layers. Gate on depth.
+    fuse = (use_fused and getattr(model, 'num_layers', 0) >= 6)
 
     def device_eval(params, batch):
         batch = _squeeze_leading(batch)
-        out = model.apply(params, batch, train=False, **apply_kwargs)
+        if fuse and jax.default_backend() == 'tpu':
+            from pointvs_tpu.inference_engine import fused_forward
+            out = fused_forward(model, params, batch, task=model_task)
+        else:
+            out = model.apply(params, batch, train=False, **apply_kwargs)
         return out[None]
 
     sharded = shard_map(
