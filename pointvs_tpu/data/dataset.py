@@ -141,9 +141,14 @@ class PointCloudDataset:
                  f'{shorten_home(base_path)}')
 
         # Featurisation setup (ref data_loaders.py:194-226).
+        self._z_lut = None
         if use_atomic_numbers:
             self.atomic_number_to_index, self.n_features = (
                 build_atomic_number_map(polar_hydrogens))
+            self._z_lut = np.full(130, self.n_features, dtype=np.int64)
+            for z, idx in dict(self.atomic_number_to_index).items():
+                if z < 130:
+                    self._z_lut[z] = idx
         elif polar_hydrogens:
             raise NotImplementedError('Hydrogens temporarily disabled.')
         else:
@@ -260,64 +265,70 @@ class PointCloudDataset:
         digest = hashlib.sha1(repr(params).encode()).hexdigest()[:24]
         return self.cache_dir / f'{digest}.npz'
 
-    def _build_struct(self, lig_fname, rec_fname, aug_angle: float
-                      ) -> pd.DataFrame:
-        """parquets -> concatenated, boxed, element-filtered structure."""
-        struct = make_box(
-            concat_structs(rec_fname, lig_fname, self.n_features,
-                           min_lig_rotation=aug_angle,
-                           extended=self.extended_atom_types,
-                           rng=self.rng),
-            radius=self.radius, relative_to_ligand=True)
+    def _build_struct(self, lig_fname, rec_fname, aug_angle: float):
+        """parquets -> concatenated, boxed, element-filtered struct dict."""
+        from pointvs_tpu.data import fast_structs as fs
+        if aug_angle or str(lig_fname).rsplit('.', 1)[-1] != 'parquet' \
+                or str(rec_fname).rsplit('.', 1)[-1] != 'parquet':
+            # Augmented actives (ligand re-rotation) and non-parquet inputs
+            # go through the reference-semantics pandas path.
+            struct = make_box(
+                concat_structs(rec_fname, lig_fname, self.n_features,
+                               min_lig_rotation=aug_angle,
+                               extended=self.extended_atom_types,
+                               rng=self.rng),
+                radius=self.radius, relative_to_ligand=True)
+            struct = {k: struct[k].to_numpy() for k in fs.KEYS}
+        else:
+            struct = fs.box_np(
+                fs.concat_structs_np(
+                    fs.read_struct(str(rec_fname)),
+                    fs.read_struct(str(lig_fname)),
+                    self.n_features, extended=self.extended_atom_types),
+                radius=self.radius)
         if not self.polar_hydrogens:
-            struct = struct[struct['atomic_number'] > 1]
+            struct = fs.subset(struct, struct['atomic_number'] > 1)
         if self.use_atomic_numbers:
-            struct = struct.copy()
-            struct.types = (
-                struct['atomic_number'].map(
-                    lambda z: self.atomic_number_to_index[z])
-                + struct.bp * self.n_features)
-        return struct.reset_index(drop=True)
+            z = np.minimum(struct['atomic_number'], 129)
+            struct = dict(struct)
+            struct['types'] = (self._z_lut[z]
+                               + struct['bp'] * self.n_features)
+        return struct
 
-    def _edges_for(self, struct: pd.DataFrame):
+    def _edges_for(self, struct):
+        from pointvs_tpu.data import fast_structs as fs
         edge_radius = self.edge_radius if self.edge_radius > 0 else 4
         intra_radius = 2.0 if self.estimate_bonds else edge_radius
         if self.edge_radius >= 0:
-            struct, (rows, cols), attrs = generate_edges(
-                struct, inter_radius=edge_radius,
-                intra_radius=intra_radius, prune=self.prune)
+            struct, rows, cols, attrs = fs.edges_np(
+                struct, edge_radius, intra_radius, prune=self.prune)
             onehot = np.zeros((len(attrs), 3), dtype=np.float32)
             if len(attrs):
                 onehot[np.arange(len(attrs)), attrs] = 1.0
-            return struct, rows.astype(np.int32), cols.astype(np.int32), onehot
+            return struct, rows.astype(np.int32), cols.astype(np.int32), \
+                onehot
         return struct, np.zeros(0, np.int32), np.zeros(0, np.int32), \
             np.zeros((0, 3), np.float32)
 
     def _load_boxed_graph(self, lig_fname, rec_fname, aug_angle: float):
-        """Boxed struct + edges, through the npz cache when possible."""
+        """Boxed struct dict + edges, through the npz cache if present."""
+        from pointvs_tpu.data.fast_structs import KEYS, subset
         cache_path = (None if aug_angle else
                       self._cache_key(lig_fname, rec_fname))
         if cache_path is not None and cache_path.exists():
             blob = np.load(cache_path, allow_pickle=False)
-            struct = pd.DataFrame({
-                'x': blob['x'], 'y': blob['y'], 'z': blob['z'],
-                'atomic_number': blob['atomic_number'],
-                'types': blob['types'], 'bp': blob['bp']})
+            struct = {k: blob[k] for k in KEYS}
             return struct, blob['rows'], blob['cols'], blob['attrs']
 
         struct = self._build_struct(lig_fname, rec_fname, aug_angle)
         if self.bp is not None:
-            struct = struct[struct.bp == self.bp].reset_index(drop=True)
+            struct = subset(struct, struct['bp'] == self.bp)
         struct, rows, cols, attrs = self._edges_for(struct)
 
         if cache_path is not None:
             tmp = cache_path.with_suffix('.tmp.npz')
-            np.savez_compressed(
-                tmp, x=struct.x.to_numpy(), y=struct.y.to_numpy(),
-                z=struct.z.to_numpy(),
-                atomic_number=struct.atomic_number.to_numpy(),
-                types=struct.types.to_numpy(), bp=struct.bp.to_numpy(),
-                rows=rows, cols=cols, attrs=attrs)
+            np.savez_compressed(tmp, rows=rows, cols=cols, attrs=attrs,
+                                **{k: struct[k] for k in KEYS})
             tmp.rename(cache_path)
         return struct, rows, cols, attrs
 
@@ -341,19 +352,19 @@ class PointCloudDataset:
         # Entity dropout: drop receptor or ligand, force label 0 (ref
         # :293-300). Requires regenerating edges on the remaining entity.
         if self.p_remove_entity > 0 and self.rng.rand() < self.p_remove_entity:
+            from pointvs_tpu.data.fast_structs import subset
             keep_bp = 0 if self.rng.rand() < 0.5 else 1
-            struct = struct[struct.bp == keep_bp].reset_index(drop=True)
+            struct = subset(struct, struct['bp'] == keep_bp)
             struct, rows, cols, attrs = self._edges_for(struct)
             label = (np.float32(0) if np.ndim(label) == 0
                      else np.zeros(3, dtype=np.float32))
 
-        coords = np.stack([struct.x.to_numpy(), struct.y.to_numpy(),
-                           struct.z.to_numpy()], axis=1)
+        coords = np.stack([struct['x'], struct['y'], struct['z']], axis=1)
         if self.rot:
             coords = uniform_random_rotation(coords, rng=self.rng)
 
         feats = make_bit_vector(
-            struct.types.to_numpy(), self.n_features, self.compact)
+            struct['types'], self.n_features, self.compact)
 
         d_e, rmsd = 0.0, 0.0
         if self.include_strain_info and item < len(self.dEs):

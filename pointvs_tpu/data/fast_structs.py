@@ -1,0 +1,101 @@
+"""Numpy struct-dict fast path for the per-item pipeline.
+
+pandas DataFrames cost more than the chemistry at TPU throughputs (~60% of
+the warm per-item time was frame bookkeeping). A "struct" here is a plain
+dict of numpy arrays with the parquet schema keys
+(x, y, z, atomic_number, types, bp); these helpers mirror
+data/preprocessing.py's make_box / concat / filter semantics exactly and
+are exercised against them by the dataset tests.
+"""
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import Dict, Optional
+
+import numpy as np
+
+KEYS = ('x', 'y', 'z', 'atomic_number', 'types', 'bp')
+Struct = Dict[str, np.ndarray]
+
+
+@lru_cache(maxsize=256)
+def read_struct(path_str: str) -> Struct:
+    """Parquet -> dict of numpy columns (no pandas materialisation).
+    Cached: receptors are shared across a whole screen. Treat as
+    immutable — copy before mutating."""
+    import pyarrow.parquet as pq
+    table = pq.read_table(path_str, columns=list(KEYS))
+    return {k: table.column(k).to_numpy() for k in KEYS}
+
+
+def concat_structs_np(rec: Struct, lig: Struct, n_features: int,
+                      extended: bool = False) -> Struct:
+    """Ligand rows first; receptor types offset (preprocessing.py
+    concat_structs semantics)."""
+    out = {}
+    rec_types = rec['types'] + (n_features + 8 * int(extended))
+    for k in KEYS:
+        rec_col = rec_types if k == 'types' else rec[k]
+        out[k] = np.concatenate([lig[k], rec_col])
+    return out
+
+
+def subset(struct: Struct, mask_or_idx) -> Struct:
+    return {k: v[mask_or_idx] for k, v in struct.items()}
+
+
+def box_np(struct: Struct, radius: float) -> Struct:
+    """Keep ligand + receptor atoms within radius of any ligand atom
+    (make_box relative_to_ligand=True semantics, same row order)."""
+    bp = struct['bp']
+    lig_idx = np.where(bp == 0)[0]
+    rec_idx = np.where(bp == 1)[0]
+    lig_xyz = np.stack([struct['x'][lig_idx], struct['y'][lig_idx],
+                        struct['z'][lig_idx]], axis=1)
+    rec_xyz = np.stack([struct['x'][rec_idx], struct['y'][rec_idx],
+                        struct['z'][rec_idx]], axis=1)
+    keep_rec = None
+    if len(rec_idx) and len(lig_idx):
+        try:
+            from pointvs_tpu.native.build import native_box_filter
+            keep_rec = native_box_filter(lig_xyz, rec_xyz, radius)
+        except Exception:
+            keep_rec = None
+        if keep_rec is None:
+            diff = lig_xyz[:, None, :] - rec_xyz[None, :, :]
+            dists = np.sqrt(np.einsum('ijk,ijk->ij', diff, diff))
+            keep_rec = np.where((dists < radius).any(axis=0))[0]
+    elif not len(lig_idx):
+        keep_rec = np.zeros(0, dtype=np.int64)
+    order = np.concatenate(
+        [lig_idx, rec_idx[keep_rec] if keep_rec is not None else rec_idx])
+    return subset(struct, order)
+
+
+def edges_np(struct: Struct, inter_radius: float, intra_radius: float,
+             prune: bool):
+    """Radius edges (generate_edges semantics) over a struct dict.
+    Returns (struct, rows, cols, attrs) with int32 edges."""
+    coords = np.stack([struct['x'], struct['y'], struct['z']],
+                      axis=1).astype(np.float64)
+    bp = struct['bp'].astype(np.int32)
+    native = None
+    try:
+        from pointvs_tpu.native.build import native_radius_edges
+        native = native_radius_edges(coords, bp, inter_radius,
+                                     intra_radius, prune)
+    except Exception:
+        native = None
+    if native is not None:
+        rows, cols, attrs, keep = native
+        if prune and not keep.all():
+            struct = subset(struct, keep)
+        return struct, rows, cols, attrs
+    # numpy fallback mirrors preprocessing.generate_edges
+    import pandas as pd
+    from pointvs_tpu.data.preprocessing import generate_edges
+    df = pd.DataFrame({k: struct[k] for k in KEYS})
+    df2, (rows, cols), attrs = generate_edges(
+        df, inter_radius, intra_radius, prune=prune)
+    return ({k: df2[k].to_numpy() for k in KEYS},
+            rows.astype(np.int32), cols.astype(np.int32), attrs)
