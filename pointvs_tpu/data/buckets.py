@@ -183,12 +183,14 @@ def pad_graphs_to_batch(samples: Sequence[GraphSample],
     # Sort edges by destination (senders) — the MXU windowed-scatter path
     # (ops/sorted_segment.py) requires it. Padding edges (id n_pad) sort
     # to the end. recv_perm sorts by receivers for the mirror direction.
-    order = np.argsort(senders, kind='stable')
+    # Counting argsort (native when available): ids are bounded by n_pad,
+    # so O(E) beats numpy's comparison sort on every batch.
+    order = _argsort_ids(senders, n_pad)
     senders = senders[order]
     receivers = receivers[order]
     edge_attr = edge_attr[order]
     edge_mask = edge_mask[order]
-    recv_perm = np.argsort(receivers, kind='stable').astype(np.int32)
+    recv_perm = _argsort_ids(receivers, n_pad).astype(np.int32)
 
     _check_window_capacity(senders, receivers, n_pad, e_pad)
 
@@ -197,20 +199,40 @@ def pad_graphs_to_batch(samples: Sequence[GraphSample],
                       strain, recv_perm)
 
 
+def _argsort_ids(ids: np.ndarray, max_id: int) -> np.ndarray:
+    try:
+        from pointvs_tpu.native.build import native_counting_argsort
+        order = native_counting_argsort(ids, max_id)
+        if order is not None:
+            return order
+    except Exception:
+        pass
+    return np.argsort(ids, kind='stable')
+
+
+def _max_window_load(ids: np.ndarray, n_pad: int, window: int) -> int:
+    try:
+        from pointvs_tpu.native.build import native_max_window_load
+        load = native_max_window_load(ids, n_pad, window)
+        if load is not None:
+            return load
+    except Exception:
+        pass
+    real = ids[ids < n_pad]
+    return int(np.bincount(real // window).max()) if len(real) else 0
+
+
 def _check_window_capacity(senders, receivers, n_pad: int, e_pad: int):
     """The windowed scatter derives a static per-window edge capacity from
     (e_pad, n_pad); verify the realised loads fit, loudly."""
     from pointvs_tpu.ops.sorted_segment import WINDOW, derive_max_eb
     cap = derive_max_eb(e_pad, n_pad)
     for ids in (senders, receivers):
-        real = ids[ids < n_pad]
-        if not len(real):
-            continue
-        loads = np.bincount(real // WINDOW)
-        if loads.max() > cap:
+        max_load = _max_window_load(ids, n_pad, WINDOW)
+        if max_load > cap:
             raise ValueError(
                 f'Graph too dense for the windowed scatter: a {WINDOW}-node '
-                f'window has {loads.max()} incident edges but the derived '
+                f'window has {max_load} incident edges but the derived '
                 f'capacity is {cap} (e_pad={e_pad}, n_pad={n_pad}). '
                 f'Increase the edge bucket (lower node bucket density) or '
                 f'raise ops.sorted_segment capacity.')

@@ -80,6 +80,14 @@ def get_graphops() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_uint8)]
+        lib.pvs_counting_argsort.restype = None
+        lib.pvs_counting_argsort.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32)]
+        lib.pvs_max_window_load.restype = ctypes.c_int64
+        lib.pvs_max_window_load.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_int32]
         _LIB = lib
         LOG.info(f'native graphops loaded from {so_path}')
         return _LIB
@@ -109,6 +117,30 @@ def native_box_filter(lig_xyz: np.ndarray, rec_xyz: np.ndarray,
     lib.pvs_box_filter(_dptr(lig), len(lig), _dptr(rec), len(rec),
                        ctypes.c_double(radius), _bptr(keep))
     return np.where(keep)[0]
+
+
+def native_counting_argsort(ids: np.ndarray, max_id: int
+                            ) -> Optional[np.ndarray]:
+    """Stable argsort of bounded non-negative int32 ids; None if no lib."""
+    lib = get_graphops()
+    if lib is None:
+        return None
+    ids = np.ascontiguousarray(ids, dtype=np.int32)
+    out = np.empty(len(ids), dtype=np.int32)
+    lib.pvs_counting_argsort(_iptr(ids), len(ids),
+                             ctypes.c_int32(max_id), _iptr(out))
+    return out
+
+
+def native_max_window_load(ids: np.ndarray, id_bound: int,
+                           window: int) -> Optional[int]:
+    lib = get_graphops()
+    if lib is None:
+        return None
+    ids = np.ascontiguousarray(ids, dtype=np.int32)
+    return int(lib.pvs_max_window_load(
+        _iptr(ids), len(ids), ctypes.c_int32(id_bound),
+        ctypes.c_int32(window)))
 
 
 def native_radius_edges(xyz: np.ndarray, bp: np.ndarray, inter_r: float,

@@ -163,4 +163,32 @@ int64_t pvs_radius_edges(const double* xyz, const int32_t* bp, int n,
                       rows, cols, attrs, cap);
 }
 
+// Stable counting argsort for bounded non-negative ids (edge sorting at
+// collation: O(E + max_id) vs numpy's comparison sort).
+void pvs_counting_argsort(const int32_t* ids, int64_t n, int32_t max_id,
+                          int32_t* out_order) {
+    std::vector<int64_t> counts(static_cast<size_t>(max_id) + 2, 0);
+    for (int64_t i = 0; i < n; ++i) counts[ids[i] + 1]++;
+    for (size_t v = 1; v < counts.size(); ++v) counts[v] += counts[v - 1];
+    for (int64_t i = 0; i < n; ++i) {
+        out_order[counts[ids[i]]++] = static_cast<int32_t>(i);
+    }
+}
+
+// Max number of ids falling into any `window`-sized bucket (< n_ids_max);
+// used for the windowed-scatter capacity check.
+int64_t pvs_max_window_load(const int32_t* ids, int64_t n, int32_t id_bound,
+                            int32_t window) {
+    std::vector<int64_t> loads(
+        static_cast<size_t>(id_bound) / window + 2, 0);
+    int64_t max_load = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        if (ids[i] < id_bound) {
+            int64_t load = ++loads[ids[i] / window];
+            if (load > max_load) max_load = load;
+        }
+    }
+    return max_load;
+}
+
 }  // extern "C"
