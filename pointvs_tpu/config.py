@@ -120,6 +120,11 @@ def parse_args(argv=None):
     parser.add_argument('--debug_nans', action='store_true',
                         help='Enable jax debug_nans (errors at the first '
                              'NaN-producing op instead of the loss guard)')
+    parser.add_argument('--multihost', action='store_true',
+                        help='Initialise jax.distributed for multi-host '
+                             '(DCN) training; data is sharded by process '
+                             'index and gradients all-reduce over the '
+                             'global mesh')
     return parser.parse_args(argv)
 
 

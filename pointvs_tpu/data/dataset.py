@@ -326,9 +326,10 @@ class PointCloudDataset:
         struct, rows, cols, attrs = self._edges_for(struct)
 
         if cache_path is not None:
+            # Uncompressed: DEFLATE cost ~50ms/item, 20x the recompute.
             tmp = cache_path.with_suffix('.tmp.npz')
-            np.savez_compressed(tmp, rows=rows, cols=cols, attrs=attrs,
-                                **{k: struct[k] for k in KEYS})
+            np.savez(tmp, rows=rows, cols=cols, attrs=attrs,
+                     **{k: struct[k] for k in KEYS})
             tmp.rename(cache_path)
         return struct, rows, cols, attrs
 

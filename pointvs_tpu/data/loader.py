@@ -55,7 +55,8 @@ class GraphDataLoader:
                  shuffle: Optional[bool] = None, drop_last: bool = False,
                  prefetch: int = 2, seed: int = 0,
                  node_buckets=DEFAULT_NODE_BUCKETS,
-                 edge_buckets=DEFAULT_EDGE_BUCKETS):
+                 edge_buckets=DEFAULT_EDGE_BUCKETS,
+                 shard_index: int = 0, num_shards: int = 1):
         if batch_size % num_devices:
             raise ValueError(
                 f'batch_size {batch_size} not divisible by num_devices '
@@ -70,6 +71,12 @@ class GraphDataLoader:
         self.rng = np.random.RandomState(seed)
         self.node_buckets = node_buckets
         self.edge_buckets = edge_buckets
+        # Multi-host (DCN) data sharding: each process draws a disjoint
+        # stripe of every epoch's index stream (weighted samples included),
+        # replacing the reference's single-host WeightedRandomSampler
+        # (SURVEY.md section 5.8).
+        self.shard_index = shard_index
+        self.num_shards = num_shards
         # Weighted class-balancing only for classification training (ref
         # data_loaders.py:506-509).
         self.use_weighted_sampler = (
@@ -78,7 +85,7 @@ class GraphDataLoader:
             and getattr(dataset, 'sample_weights', None) is not None)
 
     def __len__(self):
-        n = len(self.dataset)
+        n = -(-len(self.dataset) // self.num_shards)
         if self.drop_last:
             return n // self.batch_size
         return -(-n // self.batch_size)
@@ -88,10 +95,13 @@ class GraphDataLoader:
         if self.use_weighted_sampler:
             weights = np.asarray(self.dataset.sample_weights, dtype=np.float64)
             probs = weights / weights.sum()
-            return self.rng.choice(n, size=n, replace=True, p=probs)
-        idx = np.arange(n)
-        if self.shuffle:
-            self.rng.shuffle(idx)
+            idx = self.rng.choice(n, size=n, replace=True, p=probs)
+        else:
+            idx = np.arange(n)
+            if self.shuffle:
+                self.rng.shuffle(idx)
+        if self.num_shards > 1:
+            idx = idx[self.shard_index::self.num_shards]
         return idx
 
     def _collate(self, samples: List[GraphSample]
@@ -208,6 +218,7 @@ def get_data_loader(
         edge_radius=None, prune: bool = False, estimate_bonds: bool = False,
         bp=None, p_noise: float = -1, num_devices: int = 1,
         prefetch: int = 2, seed: int = 0, cache_dir=None,
+        shard_index: int = 0, num_shards: int = 1,
         **kwargs) -> GraphDataLoader:
     """Build dataset + loader with the reference's flag surface
     (ref data_loaders.py:481-520)."""
@@ -227,4 +238,5 @@ def get_data_loader(
         cache_dir=cache_dir, **kwargs)
     return GraphDataLoader(
         ds, batch_size=batch_size, mode=mode, num_devices=num_devices,
-        prefetch=prefetch, seed=seed)
+        prefetch=prefetch, seed=seed, shard_index=shard_index,
+        num_shards=num_shards)

@@ -32,7 +32,10 @@ def build_loaders(args, num_devices: int):
                            or args.model_task == 'multi_regression')
                        else 'regression')
     dataset_class = (SynthPharmDataset if args.synthpharm else None)
+    import jax as _jax
     dl_kwargs = {
+        'shard_index': _jax.process_index(),
+        'num_shards': _jax.process_count(),
         'batch_size': args.batch_size,
         'compact': args.compact,
         'radius': args.radius,
@@ -113,6 +116,11 @@ def main(argv=None):
         jax.config.update('jax_enable_x64', True)
     if args.debug_nans:
         jax.config.update('jax_debug_nans', True)
+    if args.multihost:
+        # Multi-slice/multi-host: coordinator etc. from the standard env
+        # (SURVEY.md section 5.8: grads all-reduce over ICI within a
+        # slice and DCN across; data sharded per process below).
+        jax.distributed.initialize()
 
     if args.load_args is not None:
         for key, value in load_yaml(args.load_args).items():
