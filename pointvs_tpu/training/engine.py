@@ -45,6 +45,38 @@ LOG = get_logger('PointVS-TPU')
 VALID_TASKS = ('classification', 'regression', 'multi_regression')
 
 
+def _progress_ctx():
+    """rich progress bars when attached to a tty (reference UX,
+    point_neural_network_base.py:40-43); a no-op shim otherwise."""
+    import sys
+
+    class _Null:
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *exc):
+            return False
+
+        def add_task(self, *a, **k):
+            return None
+
+        def update(self, *a, **k):
+            pass
+
+        def reset(self, *a, **k):
+            pass
+
+    if not sys.stderr.isatty():
+        return _Null()
+    try:
+        from rich.progress import Progress, TimeElapsedColumn
+        return Progress(*Progress.get_default_columns(),
+                        TimeElapsedColumn(), transient=False,
+                        refresh_per_second=2)
+    except ImportError:
+        return _Null()
+
+
 def _dummy_batch(dim_input: int, num_graphs: int = 1) -> GraphBatch:
     """Smallest valid batch for parameter initialisation."""
     n, e = 8, 8
@@ -195,7 +227,17 @@ class Trainer:
         done_steps = 0
         sched_step = init_epoch * steps_per_epoch
 
+        progress = _progress_ctx()
+        progress.__enter__()
+        task_word = ('regression' if 'reg' in self.model_task
+                     else 'classification')
+        total_task = progress.add_task(
+            f'[green]Epochs ({task_word})', total=total_steps)
+        epoch_task = progress.add_task(
+            f'[white]Batches ({task_word})', total=steps_per_epoch)
+
         for epoch_idx in range(init_epoch, epochs):
+            progress.reset(epoch_task)
             epoch_start = time.time()
             losses = []
             for batch_idx, (batch, meta) in enumerate(data_loader):
@@ -220,6 +262,8 @@ class Trainer:
                 self.global_iter += 1
                 done_steps += 1
 
+                progress.update(epoch_task, advance=1.0)
+                progress.update(total_task, advance=1.0)
                 loss_val = float(loss)
                 losses.append(loss_val)
                 if math.isnan(loss_val):
@@ -259,6 +303,7 @@ class Trainer:
                     f'{time.time() - epoch_start:.1f}s, mean loss '
                     f'{np.mean(losses):.4f}')
             self.on_epoch_end(epoch_end_validation_set, epochs, top1_on_end)
+        progress.__exit__(None, None, None)
 
     def on_epoch_end(self, epoch_end_validation_set, epochs: int,
                      top1_on_end: bool):
