@@ -18,7 +18,6 @@ are returned for the *real* (unpadded) atoms/edges.
 """
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

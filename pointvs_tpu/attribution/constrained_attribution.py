@@ -10,8 +10,6 @@ gated).
 from __future__ import annotations
 
 import argparse
-from pathlib import Path
-
 import numpy as np
 import pandas as pd
 

@@ -10,9 +10,6 @@ from __future__ import annotations
 
 import argparse
 import shutil
-from pathlib import Path
-
-import numpy as np
 import pandas as pd
 
 from pointvs_tpu.logging import get_logger

@@ -10,8 +10,6 @@ from __future__ import annotations
 
 import argparse
 from collections import defaultdict
-from pathlib import Path
-
 import numpy as np
 import pandas as pd
 
@@ -19,7 +17,7 @@ from pointvs_tpu.attribution.attribution import score_atoms
 from pointvs_tpu.attribution.attribution_fns import ATTRIBUTION_FNS
 from pointvs_tpu.logging import get_logger
 from pointvs_tpu.models.load_model import load_model
-from pointvs_tpu.utils import coords_to_string, expand_path, mkdir
+from pointvs_tpu.utils import coords_to_string, mkdir
 
 LOG = get_logger('PointVS-TPU')
 

@@ -17,9 +17,8 @@ fallback otherwise).
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
-import numpy as np
 import pandas as pd
 
 from pointvs_tpu.attribution.interaction_parser import (

@@ -16,14 +16,12 @@ from __future__ import annotations
 from pathlib import Path
 from typing import List, Optional, Tuple
 
-import numpy as np
 import pandas as pd
 
 from pointvs_tpu.attribution.attribution import (
     colour_b_factors_pdb,
     score_atoms,
 )
-from pointvs_tpu.attribution.attribution_fns import ATTRIBUTION_FNS
 from pointvs_tpu.dataset_generation.chem import parse_pdb
 from pointvs_tpu.logging import get_logger
 from pointvs_tpu.utils import expand_path, mkdir

@@ -13,12 +13,10 @@ autodiff-friendly unfused path. Unsupported configurations
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from pointvs_tpu.data.buckets import GraphBatch
 from pointvs_tpu.models.egnn import SartorrasEGNN
