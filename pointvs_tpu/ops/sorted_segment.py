@@ -87,15 +87,30 @@ def _wss_impl(data: jnp.ndarray, sorted_ids: jnp.ndarray,
             pallas_windowed_segment_sum
 
         # Pallas TPU does not auto-batch ANY-space refs: under vmap
-        # (attribution's chunked masked forwards) fall back to a
-        # sequential map over the batch.
-        @jax.custom_batching.sequential_vmap
+        # (attribution's chunked masked forwards) the batch rule runs the
+        # vectorised XLA formulation instead.
+        @jax.custom_batching.custom_vmap
         def _run(d, ids):
             return pallas_windowed_segment_sum(
                 d, ids, num_segments, window, max_eb)
 
+        @_run.def_vmap
+        def _run_vmap(axis_size, in_batched, d, ids):
+            d_b, ids_b = in_batched
+            fn = lambda dd, ii: _xla_windowed_impl(
+                dd, ii, num_segments, window, max_eb)
+            out = jax.vmap(
+                fn,
+                in_axes=(0 if d_b else None, 0 if ids_b else None))(d, ids)
+            return out, True
+
         out = _run(data, sorted_ids)
         return out[:, 0] if squeeze else out
+    out = _xla_windowed_impl(data, sorted_ids, num_segments, window, max_eb)
+    return out[:, 0] if squeeze else out
+
+
+def _xla_windowed_impl(data, sorted_ids, num_segments, window, max_eb):
     e, k = data.shape
     nb = -(-num_segments // window)
     starts = _window_starts(sorted_ids, num_segments, window)
@@ -117,8 +132,7 @@ def _wss_impl(data: jnp.ndarray, sorted_ids: jnp.ndarray,
 
     out = jax.vmap(one_window)(
         jnp.arange(nb, dtype=sorted_ids.dtype), starts)
-    out = out.reshape(nb * window, k)[:num_segments]
-    return out[:, 0] if squeeze else out
+    return out.reshape(nb * window, k)[:num_segments]
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
