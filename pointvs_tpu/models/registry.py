@@ -5,6 +5,7 @@ import inspect
 from typing import Any, Dict
 
 from pointvs_tpu.models.egnn import SartorrasEGNN
+from pointvs_tpu.models.en_transformer import EnTransformer
 from pointvs_tpu.models.lucid import LucidEGNN
 from pointvs_tpu.models.multitask import MultitaskSatorrasEGNN
 
@@ -12,6 +13,10 @@ MODEL_REGISTRY = {
     'egnn': SartorrasEGNN,
     'lucid': LucidEGNN,
     'multitask': MultitaskSatorrasEGNN,
+    'en_transformer': EnTransformer,
+    # The reference's SE(3)-transformer niche (its lie_transformer wrapped
+    # external research libs); served here by the En-Transformer design.
+    'lie_transformer': EnTransformer,
 }
 
 
