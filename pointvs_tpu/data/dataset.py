@@ -88,7 +88,9 @@ class PointCloudDataset:
             bp: Optional[int] = None, p_remove_entity: float = 0,
             extended_atom_types: bool = False, p_noise: float = -1,
             include_strain_info: bool = False,
-            cache_dir=None, seed: int = 0, **kwargs):
+            cache_dir=None, seed: int = 0,
+            in_memory_cache: bool = True,
+            memory_cache_bytes: int = 4 << 30, **kwargs):
         del kwargs  # flag soup passed through from the CLI
         assert not ((max_active_rms_distance is None) !=
                     (min_inactive_rms_distance is None))
@@ -118,6 +120,11 @@ class PointCloudDataset:
         self.cache_dir = Path(cache_dir) if cache_dir else None
         if self.cache_dir:
             self.cache_dir.mkdir(parents=True, exist_ok=True)
+        # In-memory cache of boxed graphs (pre-rotation, pre-featurise):
+        # epochs >= 2 skip parquet IO and graph construction entirely.
+        # Budgeted; disabled per item once the budget is exhausted.
+        self._mem_cache = {} if in_memory_cache else None
+        self._mem_cache_budget = memory_cache_bytes
 
         self.use_types = types_fname is not None
         self.sample_weights = None
@@ -311,8 +318,14 @@ class PointCloudDataset:
             np.zeros((0, 3), np.float32)
 
     def _load_boxed_graph(self, lig_fname, rec_fname, aug_angle: float):
-        """Boxed struct dict + edges, through the npz cache if present."""
+        """Boxed struct dict + edges, through the caches if present."""
         from pointvs_tpu.data.fast_structs import KEYS, subset
+        mem_key = None
+        if self._mem_cache is not None and not aug_angle:
+            mem_key = (str(lig_fname), str(rec_fname))
+            hit = self._mem_cache.get(mem_key)
+            if hit is not None:
+                return hit
         cache_path = (None if aug_angle else
                       self._cache_key(lig_fname, rec_fname))
         if cache_path is not None and cache_path.exists():
@@ -331,6 +344,12 @@ class PointCloudDataset:
             np.savez(tmp, rows=rows, cols=cols, attrs=attrs,
                      **{k: struct[k] for k in KEYS})
             tmp.rename(cache_path)
+        if mem_key is not None and self._mem_cache_budget > 0:
+            size = (sum(v.nbytes for v in struct.values())
+                    + rows.nbytes + cols.nbytes + attrs.nbytes)
+            if size <= self._mem_cache_budget:
+                self._mem_cache[mem_key] = (struct, rows, cols, attrs)
+                self._mem_cache_budget -= size
         return struct, rows, cols, attrs
 
     def __getitem__(self, item: int) -> GraphSample:

@@ -77,6 +77,14 @@ class GraphDataLoader:
         # (SURVEY.md section 5.8).
         self.shard_index = shard_index
         self.num_shards = num_shards
+        # Deterministic loaders (validation: no shuffle, no weighted
+        # sampling, no rotation) produce identical batches every epoch —
+        # cache the collated batches after the first pass.
+        self._batch_cache = None
+        self._cacheable = (mode != 'train' and not self.shuffle
+                           and not getattr(dataset, 'rot', False)
+                           and getattr(dataset, 'p_noise', -1) <= 0
+                           and getattr(dataset, 'p_remove_entity', 0) <= 0)
         # Weighted class-balancing only for classification training (ref
         # data_loaders.py:506-509).
         self.use_weighted_sampler = (
@@ -167,6 +175,16 @@ class GraphDataLoader:
             yield self._collate(samples)
 
     def __iter__(self):
+        if self._cacheable:
+            if self._batch_cache is not None:
+                yield from self._batch_cache
+                return
+            cache = []
+            for item in self._produce():
+                cache.append(item)
+                yield item
+            self._batch_cache = cache
+            return
         if self.prefetch <= 0:
             yield from self._produce()
             return
