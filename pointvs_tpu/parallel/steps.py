@@ -27,11 +27,25 @@ def _squeeze_leading(tree):
     return jax.tree.map(lambda x: x[0], tree)
 
 
+def _as_graph_batch(batch):
+    """Accept either a full GraphBatch or the compact WireBatch."""
+    from pointvs_tpu.data.wire import WireBatch, decompress
+    if isinstance(batch, WireBatch):
+        return decompress(batch)
+    return batch
+
+
 def make_train_step(model, tx, model_task: str, regression_loss: str,
                     mesh: Mesh, axis_name: str = 'dp',
                     multitask: bool = False) -> Callable:
-    """Returns jitted step(params, opt_state, batch[D,...], lr, rng) ->
-    (params, opt_state, loss)."""
+    """Returns step(params, opt_state, batch, lr, rng) ->
+    (params, opt_state, loss).
+
+    `batch` is either a [D, ...]-stacked GraphBatch/WireBatch pytree, or a
+    packed single-buffer tuple ('packed', uint8[D, nbytes], template) from
+    data/wire.pack_stacked — one H2D transfer per step instead of one per
+    array (round trips dominate on tunneled backends).
+    """
 
     apply_kwargs = {'task': model_task} if multitask else {}
 
@@ -40,8 +54,7 @@ def make_train_step(model, tx, model_task: str, regression_loss: str,
                              rngs={'dropout': rng}, **apply_kwargs)
         return loss_fn(logits, batch, model_task, regression_loss)
 
-    def device_step(params, opt_state, batch, lr, rng):
-        batch = _squeeze_leading(batch)
+    def device_step_core(params, opt_state, batch, lr, rng):
         rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
 
         def sum_loss(p):
@@ -61,13 +74,46 @@ def make_train_step(model, tx, model_task: str, regression_loss: str,
         loss = loss_sum / weight
         return params, opt_state, loss
 
+    def device_step(params, opt_state, batch, lr, rng):
+        batch = _as_graph_batch(_squeeze_leading(batch))
+        return device_step_core(params, opt_state, batch, lr, rng)
+
     sharded = shard_map(
         device_step, mesh=mesh,
         in_specs=(P(), P(), P(axis_name), P(), P()),
         out_specs=(P(), P(), P()),
         check_rep=False)
+    pytree_step = jax.jit(sharded, donate_argnums=(0, 1))
 
-    return jax.jit(sharded, donate_argnums=(0, 1))
+    packed_cache = {}
+
+    def packed_step_for(template):
+        key = tuple((tuple(a.shape), str(a.dtype)) for a in template)
+        if key not in packed_cache:
+            from pointvs_tpu.data.wire import decompress, unpack
+
+            def device_step_packed(params, opt_state, buf, lr, rng):
+                wire = unpack(buf[0], template)
+                batch = decompress(wire)
+                return device_step_core(params, opt_state, batch, lr, rng)
+
+            sharded_p = shard_map(
+                device_step_packed, mesh=mesh,
+                in_specs=(P(), P(), P(axis_name), P(), P()),
+                out_specs=(P(), P(), P()),
+                check_rep=False)
+            packed_cache[key] = jax.jit(sharded_p, donate_argnums=(0, 1))
+        return packed_cache[key]
+
+    def step(params, opt_state, batch, lr, rng):
+        if isinstance(batch, tuple) and len(batch) == 3 \
+                and batch[0] == 'packed':
+            _, buf, template = batch
+            return packed_step_for(template)(params, opt_state, buf, lr,
+                                             rng)
+        return pytree_step(params, opt_state, batch, lr, rng)
+
+    return step
 
 
 def make_eval_step(model, model_task: Optional[str], mesh: Mesh,
@@ -88,8 +134,7 @@ def make_eval_step(model, model_task: Optional[str], mesh: Mesh,
     # layers. Gate on depth.
     fuse = (use_fused and getattr(model, 'num_layers', 0) >= 6)
 
-    def device_eval(params, batch):
-        batch = _squeeze_leading(batch)
+    def eval_core(params, batch):
         if fuse and jax.default_backend() == 'tpu':
             from pointvs_tpu.inference_engine import fused_forward
             out = fused_forward(model, params, batch, task=model_task)
@@ -97,9 +142,40 @@ def make_eval_step(model, model_task: Optional[str], mesh: Mesh,
             out = model.apply(params, batch, train=False, **apply_kwargs)
         return out[None]
 
+    def device_eval(params, batch):
+        return eval_core(params, _as_graph_batch(_squeeze_leading(batch)))
+
     sharded = shard_map(
         device_eval, mesh=mesh,
         in_specs=(P(), P(axis_name)),
         out_specs=P(axis_name),
         check_rep=False)
-    return jax.jit(sharded)
+    pytree_eval = jax.jit(sharded)
+
+    packed_cache = {}
+
+    def packed_eval_for(template):
+        key = tuple((tuple(a.shape), str(a.dtype)) for a in template)
+        if key not in packed_cache:
+            from pointvs_tpu.data.wire import decompress, unpack
+
+            def device_eval_packed(params, buf):
+                return eval_core(params, decompress(
+                    unpack(buf[0], template)))
+
+            sharded_p = shard_map(
+                device_eval_packed, mesh=mesh,
+                in_specs=(P(), P(axis_name)),
+                out_specs=P(axis_name),
+                check_rep=False)
+            packed_cache[key] = jax.jit(sharded_p)
+        return packed_cache[key]
+
+    def step(params, batch):
+        if isinstance(batch, tuple) and len(batch) == 3 \
+                and batch[0] == 'packed':
+            _, buf, template = batch
+            return packed_eval_for(template)(params, buf)
+        return pytree_eval(params, batch)
+
+    return step

@@ -205,6 +205,15 @@ class Trainer:
                 self.model, key, self.mesh, multitask=self.multitask)
         return self._eval_steps[key]
 
+    def _to_device(self, batch):
+        """Compress + pack the batch into one device buffer (one H2D
+        transfer; see data/wire.py)."""
+        from pointvs_tpu.data.wire import (compress, pack_stacked,
+                                           stacked_template)
+        wire = compress(batch)
+        return ('packed', shard_batch(pack_stacked(wire), self.mesh),
+                stacked_template(wire))
+
     # ------------------------------------------------------------------ #
     def training_setup(self, data_loader, epochs: int,
                        model_task: Optional[str] = None):
@@ -236,6 +245,7 @@ class Trainer:
         epoch_task = progress.add_task(
             f'[white]Batches ({task_word})', total=steps_per_epoch)
 
+        pending_losses = []
         for epoch_idx in range(init_epoch, epochs):
             progress.reset(epoch_task)
             epoch_start = time.time()
@@ -254,7 +264,7 @@ class Trainer:
                         self._profiling = False
                 lr_now = self.scheduler(sched_step)
                 step_rng = jax.random.fold_in(self.rng, self.global_iter)
-                batch_dev = shard_batch(batch, self.mesh)
+                batch_dev = self._to_device(batch)
                 self.params, self.opt_state, loss = step_fn(
                     self.params, self.opt_state, batch_dev,
                     jnp.float32(lr_now), step_rng)
@@ -264,14 +274,24 @@ class Trainer:
 
                 progress.update(epoch_task, advance=1.0)
                 progress.update(total_task, advance=1.0)
-                loss_val = float(loss)
-                losses.append(loss_val)
-                if math.isnan(loss_val):
-                    LOG.error('We have hit a NaN loss value.')
-                    raise FloatingPointError(
-                        f'NaN loss at epoch {epoch_idx} batch {batch_idx}')
+                # Defer the D2H loss fetch to the log interval: a per-step
+                # fetch serialises the pipeline (tens of ms on tunneled
+                # backends). The NaN guard fires within log_interval steps.
+                pending_losses.append((batch_idx, loss))
+                if (not batch_idx % self.log_interval
+                        or batch_idx == steps_per_epoch - 1):
+                    for p_idx, p_loss in pending_losses:
+                        loss_val = float(p_loss)
+                        losses.append(loss_val)
+                        if math.isnan(loss_val):
+                            LOG.error('We have hit a NaN loss value.')
+                            raise FloatingPointError(
+                                f'NaN loss at epoch {epoch_idx} batch '
+                                f'{p_idx}')
+                    pending_losses.clear()
 
                 if not batch_idx % self.log_interval:
+                    loss_val = losses[-1] if losses else float('nan')
                     elapsed = time.time() - start
                     eta = elapsed / done_steps * (total_steps - done_steps)
                     self.logger.log({
@@ -343,7 +363,7 @@ class Trainer:
         pending = ''
         n_batches = len(data_loader)
         for batch_idx, (batch, meta) in enumerate(data_loader):
-            batch_dev = shard_batch(batch, self.mesh)
+            batch_dev = self._to_device(batch)
             logits = eval_fn(self.params, batch_dev)
             logits = np.asarray(logits).reshape(-1, logits.shape[-1])
             graph_mask = np.asarray(batch.graph_mask).reshape(-1)
