@@ -1,0 +1,74 @@
+"""The numpy struct-dict fast path must produce identical samples to the
+reference-semantics pandas path, and the wire format must round-trip
+exactly."""
+import numpy as np
+import pytest
+
+from pointvs_tpu.data.dataset import PointCloudDataset
+
+from .setup_and_params import RESOURCES
+
+
+def _dataset(**kwargs):
+    return PointCloudDataset(
+        RESOURCES, radius=6, polar_hydrogens=False, compact=True,
+        types_fname=RESOURCES / 'test.types', edge_radius=4,
+        estimate_bonds=True, model_task='classification',
+        in_memory_cache=False, **kwargs)
+
+
+def test_fast_path_matches_pandas_path(monkeypatch):
+    ds = _dataset()
+    fast = ds[0]
+
+    # Force the pandas path by pretending augmentation is requested for
+    # the struct build (aug_angle=0 still, so geometry is identical).
+    import pointvs_tpu.data.dataset as dsmod
+    orig = PointCloudDataset._build_struct
+
+    def pandas_build(self, lig, rec, aug_angle):
+        from pointvs_tpu.data import fast_structs as fs
+        from pointvs_tpu.data.preprocessing import concat_structs, make_box
+        struct = make_box(
+            concat_structs(rec, lig, self.n_features,
+                           min_lig_rotation=aug_angle,
+                           extended=self.extended_atom_types,
+                           rng=self.rng),
+            radius=self.radius, relative_to_ligand=True)
+        struct = {k: struct[k].to_numpy() for k in fs.KEYS}
+        if not self.polar_hydrogens:
+            struct = fs.subset(struct, struct['atomic_number'] > 1)
+        return struct
+
+    monkeypatch.setattr(PointCloudDataset, '_build_struct', pandas_build)
+    slow = _dataset()[0]
+
+    np.testing.assert_array_equal(fast.node_feats, slow.node_feats)
+    np.testing.assert_array_equal(fast.coords, slow.coords)
+    np.testing.assert_array_equal(fast.senders, slow.senders)
+    np.testing.assert_array_equal(fast.receivers, slow.receivers)
+    np.testing.assert_array_equal(fast.edge_attr, slow.edge_attr)
+
+
+def test_wire_roundtrip():
+    import jax
+    from pointvs_tpu.data.buckets import pad_graphs_to_batch, \
+        stack_device_batches
+    from pointvs_tpu.data.wire import (compress, decompress, pack_stacked,
+                                       stacked_template, unpack)
+    ds = _dataset()
+    batch = pad_graphs_to_batch([ds[0], ds[1]], num_graphs=2)
+    stacked = stack_device_batches([batch])
+    wire = compress(stacked)
+    buf = pack_stacked(wire)
+    template = stacked_template(wire)
+
+    @jax.jit
+    def roundtrip(b):
+        return decompress(unpack(b[0], template))
+
+    got = roundtrip(buf)
+    for field in batch._fields:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(got, field)),
+            np.asarray(getattr(batch, field)), err_msg=field)
