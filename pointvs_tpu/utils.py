@@ -250,6 +250,30 @@ def ensure_writable_ndarray(x) -> np.ndarray:
     return arr
 
 
+def py_mollify(sdf_or_mol2, overwrite: bool = False):
+    """Round-trip a broken structure file through PyMOL to fix valence/
+    format issues (ref point_vs/utils.py py_mollify). PyMOL-gated: raises
+    ImportError with guidance when PyMOL is unavailable.
+    """
+    try:
+        import pymol  # noqa: F401
+    except ImportError as exc:
+        raise ImportError(
+            'py_mollify requires PyMOL, which is not installed in this '
+            'environment; fix the input structure with an external tool '
+            'or install pymol-open-source.') from exc
+    from pathlib import Path as _Path
+    infile = expand_path(sdf_or_mol2)
+    outfile = infile if overwrite else _Path(
+        infile.parent, 'pymol', infile.name)
+    outfile.parent.mkdir(parents=True, exist_ok=True)
+    pymol.finish_launching(['pymol', '-qc'])
+    pymol.cmd.load(str(infile), 'mol')
+    pymol.cmd.save(str(outfile), 'mol')
+    pymol.cmd.delete('all')
+    return outfile
+
+
 def no_return_parallelise(func, *args, cpus: int | None = None):
     """Fan a function out over argument lists (multiprocessing when available).
 
