@@ -85,11 +85,15 @@ def fused_forward(model, params, batch: GraphBatch,
                     else {})
     n_pad = batch.node_feats.shape[0]
     e_real = batch.senders.shape[0]
-    if not supports_fusion(model) or n_pad % WINDOW or n_pad < 2 * WINDOW:
+    max_eb_probe = derive_max_eb(e_real, n_pad) + 128
+    k_probe = getattr(model, 'k', 32)
+    vmem_ok = max_eb_probe * (4 * k_probe + 32) * 4 < 12 * 1024 * 1024
+    if (not supports_fusion(model) or n_pad % WINDOW
+            or n_pad < 2 * WINDOW or not vmem_ok):
         # Static-shape/config fallback: plain module forward.
         return model.apply(params, batch, **apply_kwargs)
     p = params['params']
-    max_eb = derive_max_eb(e_real, n_pad) + 128
+    max_eb = max_eb_probe
     e_pad = e_real + max_eb
     num_graphs = batch.num_graphs
 
