@@ -62,64 +62,133 @@ def _masked_batch(batch, node_gone: jnp.ndarray):
     return batch._replace(node_mask=keep_nodes, edge_mask=keep_edges)
 
 
-def _chunked_map(fn, indices, chunk: int = _CHUNK):
-    """vmap in fixed-size chunks (pads the tail) to bound device memory."""
-    n = indices.shape[0]
-    pad = (-n) % chunk
-    padded = jnp.concatenate([indices, jnp.zeros((pad,) + indices.shape[1:],
-                                                 indices.dtype)])
-    stacked = padded.reshape(-1, chunk, *indices.shape[1:])
-    out = jax.lax.map(jax.vmap(fn), stacked)
-    return out.reshape(-1)[:n]
+def _tiled_masked_scores(model, params, batch, gone_matrix: jnp.ndarray,
+                         task: Optional[str]) -> jnp.ndarray:
+    """Scores for C masked variants as ONE standard forward over a tiled
+    mega-batch (C concatenated copies of the graph, copy c with
+    gone_matrix[c] atoms masked out).
+
+    This is the TPU-native form of leave-one-out masking: every chunk of
+    C variants is a single static-shape forward — no vmap over the model,
+    no per-variant dispatch (the reference re-ran the model N times
+    sequentially; SURVEY.md section 7 calls out this exact redesign).
+    """
+    apply_kwargs = _apply_kwargs(model, task)
+    c = gone_matrix.shape[0]
+    n = batch.node_mask.shape[0]
+    e = batch.edge_mask.shape[0]
+
+    node_offsets = jnp.repeat(jnp.arange(c, dtype=jnp.int32) * n, n)
+    edge_offsets = jnp.repeat(jnp.arange(c, dtype=jnp.int32) * n, e)
+    perm_offsets = jnp.repeat(jnp.arange(c, dtype=jnp.int32) * e, e)
+
+    tiled_node_mask = jnp.tile(batch.node_mask, c)
+    gone_flat = gone_matrix.reshape(-1).astype(batch.node_mask.dtype)
+    node_mask = tiled_node_mask * (1.0 - gone_flat)
+    graph_id = jnp.where(
+        tiled_node_mask > 0,
+        jnp.repeat(jnp.arange(c, dtype=jnp.int32), n), c)
+
+    senders_t = jnp.tile(batch.senders, c)
+    receivers_t = jnp.tile(batch.receivers, c)
+    valid = senders_t < n
+    senders = jnp.where(valid, senders_t + edge_offsets, c * n)
+    receivers = jnp.where(receivers_t < n,
+                          receivers_t + edge_offsets, c * n)
+    # Edge is gone if either endpoint is masked in its copy.
+    gone_at = gone_matrix.reshape(-1)
+    s_idx = jnp.minimum(senders, c * n - 1)
+    r_idx = jnp.minimum(receivers, c * n - 1)
+    keep = (1.0 - jnp.maximum(gone_at[s_idx], gone_at[r_idx]))
+    edge_mask = jnp.tile(batch.edge_mask, c) * keep
+
+    mega = batch._replace(
+        node_feats=jnp.tile(batch.node_feats, (c, 1)),
+        coords=jnp.tile(batch.coords, (c, 1)),
+        node_mask=node_mask,
+        graph_id=graph_id,
+        senders=senders,
+        receivers=receivers,
+        edge_attr=jnp.tile(batch.edge_attr, (c, 1)),
+        edge_mask=edge_mask,
+        y=jnp.zeros((c,) + batch.y.shape[1:], jnp.float32),
+        graph_mask=jnp.ones((c,), jnp.float32),
+        strain=jnp.tile(batch.strain, (c, 1)),
+        recv_perm=jnp.tile(batch.recv_perm, c) + perm_offsets)
+
+    out = model.apply(params, mega, **apply_kwargs)     # [C, dim_out]
+    if out.shape[-1] > 1:
+        vals = jnp.mean(out, axis=-1)
+    else:
+        vals = out[:, 0]
+    if SIGMOID:
+        vals = jax.nn.sigmoid(vals)
+    return vals
+
+
+def _masked_deltas(model, params, batch, gone_rows: np.ndarray,
+                   task: Optional[str], chunk: int = _CHUNK) -> np.ndarray:
+    """original_score - score(masked variant) for each row of gone_rows
+    [V, N], chunked into tiled mega-batches."""
+    score = _score_fn(model, task)
+
+    @jax.jit
+    def original_fn(params, batch):
+        return score(params, batch)
+
+    tiled = jax.jit(functools_partial_tiled(model, task))
+
+    original = float(original_fn(params, batch))
+    v = gone_rows.shape[0]
+    out = np.empty(v, np.float32)
+    for start in range(0, v, chunk):
+        rows = gone_rows[start:start + chunk]
+        if rows.shape[0] < chunk:  # pad the tail chunk
+            pad = np.zeros((chunk - rows.shape[0], rows.shape[1]),
+                           rows.dtype)
+            rows = np.concatenate([rows, pad])
+        vals = np.asarray(tiled(params, batch, jnp.asarray(rows)))
+        out[start:start + chunk] = (
+            original - vals[:min(chunk, v - start)])
+    return out
+
+
+def functools_partial_tiled(model, task):
+    def fn(params, batch, gone):
+        return _tiled_masked_scores(model, params, batch, gone, task)
+    return fn
 
 
 def atom_masking(model, params, batch, task: Optional[str] = None,
                  **kwargs) -> np.ndarray:
-    """Leave-one-atom-out score deltas, batched on device (ref :365-442)."""
+    """Leave-one-atom-out score deltas as tiled mega-batch forwards
+    (ref :365-442 ran N sequential re-forwards)."""
     n_pad = batch.node_mask.shape[0]
     n_real = int(np.asarray(batch.node_mask).sum())
-    score = _score_fn(model, task)
-
-    @jax.jit
-    def run(params, batch):
-        original = score(params, batch)
-
-        def one(i):
-            gone = (jnp.arange(n_pad) == i).astype(batch.node_mask.dtype)
-            return original - score(params, _masked_batch(batch, gone))
-
-        return _chunked_map(one, jnp.arange(n_pad))
-
-    scores = np.asarray(run(params, batch))
-    return scores[:n_real]
+    gone_rows = np.eye(n_pad, dtype=np.float32)[:n_real]
+    return _masked_deltas(model, params, batch, gone_rows, task)
 
 
 def bond_masking(model, params, batch, task: Optional[str] = None,
                  **kwargs) -> np.ndarray:
-    """Leave-one-bond-out: both endpoint atoms are removed, scored only for
+    """Leave-one-bond-out: both endpoint atoms removed, scored only for
     ligand-receptor edges (edge class 1), 0 elsewhere (ref :35-109)."""
     n_pad = batch.node_mask.shape[0]
     e_real = int(np.asarray(batch.edge_mask).sum())
-    score = _score_fn(model, task)
-    senders = jnp.minimum(batch.senders, n_pad - 1)
-    receivers = jnp.minimum(batch.receivers, n_pad - 1)
+    senders = np.minimum(np.asarray(batch.senders)[:e_real], n_pad - 1)
+    receivers = np.minimum(np.asarray(batch.receivers)[:e_real], n_pad - 1)
+    is_lig_rec = np.asarray(batch.edge_attr)[:e_real, 1] > 0
 
-    @jax.jit
-    def run(params, batch):
-        original = score(params, batch)
-
-        def one(e):
-            a, b = senders[e], receivers[e]
-            gone = ((jnp.arange(n_pad) == a) | (jnp.arange(n_pad) == b)
-                    ).astype(batch.node_mask.dtype)
-            delta = original - score(params, _masked_batch(batch, gone))
-            is_lig_rec = batch.edge_attr[e, 1] > 0
-            return jnp.where(is_lig_rec & (batch.edge_mask[e] > 0),
-                             delta, 0.0)
-
-        return _chunked_map(one, jnp.arange(batch.edge_mask.shape[0]))
-
-    return np.asarray(run(params, batch))[:e_real]
+    # Only lig-rec edges are scored; compute deltas for those, fill zeros.
+    targets = np.where(is_lig_rec)[0]
+    gone_rows = np.zeros((len(targets), n_pad), np.float32)
+    gone_rows[np.arange(len(targets)), senders[targets]] = 1.0
+    gone_rows[np.arange(len(targets)), receivers[targets]] = 1.0
+    deltas = _masked_deltas(model, params, batch, gone_rows, task) \
+        if len(targets) else np.zeros(0, np.float32)
+    out = np.zeros(e_real, np.float32)
+    out[targets] = deltas
+    return out
 
 
 def cam(model, params, batch, task: Optional[str] = None,
