@@ -140,14 +140,19 @@ def _masked_deltas(model, params, batch, gone_rows: np.ndarray,
 
     original = float(original_fn(params, batch))
     v = gone_rows.shape[0]
-    out = np.empty(v, np.float32)
+    # Dispatch every chunk before fetching any result: the chunks pipeline
+    # on device instead of paying a host sync each.
+    pending = []
     for start in range(0, v, chunk):
         rows = gone_rows[start:start + chunk]
         if rows.shape[0] < chunk:  # pad the tail chunk
             pad = np.zeros((chunk - rows.shape[0], rows.shape[1]),
                            rows.dtype)
             rows = np.concatenate([rows, pad])
-        vals = np.asarray(tiled(params, batch, jnp.asarray(rows)))
+        pending.append((start, tiled(params, batch, jnp.asarray(rows))))
+    out = np.empty(v, np.float32)
+    for start, vals in pending:
+        vals = np.asarray(vals)
         out[start:start + chunk] = (
             original - vals[:min(chunk, v - start)])
     return out
