@@ -120,6 +120,10 @@ def parse_args(argv=None):
     parser.add_argument('--debug_nans', action='store_true',
                         help='Enable jax debug_nans (errors at the first '
                              'NaN-producing op instead of the loss guard)')
+    parser.add_argument('--remat', action='store_true',
+                        help='Rematerialise each EGNN layer in backward '
+                             '(jax.checkpoint): O(depth) activation memory '
+                             'for deep (e.g. 48-layer) configs')
     parser.add_argument('--multihost', action='store_true',
                         help='Initialise jax.distributed for multi-host '
                              '(DCN) training; data is sharded by process '
@@ -170,4 +174,5 @@ def model_kwargs_from_args(args, dim_input: int) -> dict:
         'final_softplus': args.final_softplus,
         'softmax_attention': args.softmax_attention,
         'fourier_features': args.fourier_features,
+        'remat': args.remat,
     }

@@ -212,9 +212,19 @@ class SartorrasEGNN(nn.Module):
     # Graph-sharded (edge-parallel) mode: name of the mesh axis the edge
     # list is sharded over; aggregations psum partial node sums across it.
     edge_shard_axis: Optional[str] = None
+    # Rematerialise each layer in backward (jax.checkpoint): trades ~1
+    # extra forward for O(depth) activation memory — needed for
+    # author-scale 48-layer configs on dense pockets.
+    remat: bool = False
 
     def _make_layers(self):
-        return [EGNNLayer(
+        layer_cls = EGNNLayer
+        if self.remat:
+            # __call__ args with self at 0: num_graphs=9, train=10,
+            # capture_aux=11 are static; the EdgeAggregator (4) is a
+            # registered pytree and passes through as data.
+            layer_cls = nn.remat(EGNNLayer, static_argnums=(9, 10, 11))
+        return [layer_cls(
             input_nf=self.k, output_nf=self.k, hidden_nf=self.k,
             edges_in_d=3, act=self.act, residual=self.residual,
             edge_attention=self.edge_attention, normalize=self.normalize,
@@ -269,7 +279,7 @@ class SartorrasEGNN(nn.Module):
             h, coord, edge_messages, aux = layer(
                 h, coord, edge_messages, agg,
                 edge_attr, edge_mask, batch.node_mask, batch.graph_id,
-                batch.num_graphs, train=train, capture_aux=capture_aux)
+                batch.num_graphs, train, capture_aux)
             if capture_aux:
                 aux_layers.append(aux)
         return h, edge_messages, aux_layers

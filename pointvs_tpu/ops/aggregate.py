@@ -149,3 +149,24 @@ class EdgeAggregator:
             mask[self.recv_perm], self.receivers_sorted, self.num_nodes))
         denom = jnp.maximum(counts, 1.0)
         return total / (denom[:, None] if data.ndim > 1 else denom)
+
+
+def _agg_flatten(agg: 'EdgeAggregator'):
+    children = (agg.senders, agg.receivers, agg.recv_perm, agg.edge_mask,
+                agg.receivers_sorted)
+    aux = (agg.num_nodes, agg.axis_name)
+    return children, aux
+
+
+def _agg_unflatten(aux, children):
+    obj = object.__new__(EdgeAggregator)
+    (obj.senders, obj.receivers, obj.recv_perm, obj.edge_mask,
+     obj.receivers_sorted) = children
+    obj.num_nodes, obj.axis_name = aux
+    return obj
+
+
+# Registered as a pytree so aggregators can cross jit/remat/scan
+# boundaries as ordinary arguments.
+jax.tree_util.register_pytree_node(
+    EdgeAggregator, _agg_flatten, _agg_unflatten)
