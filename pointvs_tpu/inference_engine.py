@@ -87,7 +87,11 @@ def fused_forward(model, params, batch: GraphBatch,
     e_real = batch.senders.shape[0]
     max_eb_probe = derive_max_eb(e_real, n_pad) + 128
     k_probe = getattr(model, 'k', 32)
-    vmem_ok = max_eb_probe * (4 * k_probe + 32) * 4 < 12 * 1024 * 1024
+    # Fused-kernel VMEM footprint per window: the [2W, max_eb] one-hot and
+    # iota temporaries (~2KB/edge at W=128) dominate, plus ~3 K-row
+    # scratches and the [2K+4, max_eb] edge-MLP input. The kernel requests
+    # a 100M scoped-vmem limit; gate conservatively at 80M.
+    vmem_ok = max_eb_probe * (5 * 1024 + 16 * k_probe) < 80 * 1024 * 1024
     if (not supports_fusion(model) or n_pad % WINDOW
             or n_pad < 2 * WINDOW or not vmem_ok):
         # Static-shape/config fallback: plain module forward.

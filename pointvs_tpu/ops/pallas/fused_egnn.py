@@ -237,14 +237,14 @@ def fused_edge_forward(h: jnp.ndarray, h_dst_t: jnp.ndarray,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nb,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 4 + [
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * 4 + [
             pl.BlockSpec(memory_space=pltpu.VMEM)] * 9,
         out_specs=(
             pl.BlockSpec((window, k), lambda j, s: (j, 0),
                          memory_space=pltpu.VMEM),       # agg
-            pl.BlockSpec(memory_space=pltpu.ANY),        # phi_t
-            pl.BlockSpec(memory_space=pltpu.ANY),        # att_t
-            pl.BlockSpec(memory_space=pltpu.ANY),        # messages_t
+            pl.BlockSpec(memory_space=pltpu.HBM),        # phi_t
+            pl.BlockSpec(memory_space=pltpu.HBM),        # att_t
+            pl.BlockSpec(memory_space=pltpu.HBM),        # messages_t
         ),
         scratch_shapes=[
             pltpu.VMEM((k, 2 * window), jnp.float32),    # h 2-window slice
@@ -272,7 +272,11 @@ def fused_edge_forward(h: jnp.ndarray, h_dst_t: jnp.ndarray,
         ),
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=('arbitrary',)),
+            dimension_semantics=('arbitrary',),
+            # The [2W, max_eb] one-hot/iota temporaries exceed Mosaic's
+            # default 16M scoped-vmem limit at large buckets (max_eb=4096
+            # needs ~21M); v5e has 128M of VMEM, so raise the ceiling.
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(starts, h_t, h_dst_t, extras_t, prev_messages_t,
       params['w1'], params['b1'], params['w2'], params['b2'],

@@ -86,8 +86,8 @@ def pallas_windowed_segment_sum(data: jnp.ndarray, sorted_ids: jnp.ndarray,
         num_scalar_prefetch=1,
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),   # ids  [8, E+max_eb]
-            pl.BlockSpec(memory_space=pltpu.ANY),   # data [K, E+max_eb]
+            pl.BlockSpec(memory_space=pltpu.HBM),   # ids  [8, E+max_eb]
+            pl.BlockSpec(memory_space=pltpu.HBM),   # data [K, E+max_eb]
         ],
         out_specs=pl.BlockSpec((window, k), lambda j, starts: (j, 0),
                                memory_space=pltpu.VMEM),
@@ -101,6 +101,10 @@ def pallas_windowed_segment_sum(data: jnp.ndarray, sorted_ids: jnp.ndarray,
         functools.partial(_kernel, window=window, max_eb=max_eb),
         out_shape=jax.ShapeDtypeStruct((nb * window, k), jnp.float32),
         grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            # [W, max_eb] one-hot temporaries outgrow the default 16M
+            # scoped-vmem limit at large buckets; v5e has 128M of VMEM.
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(starts, ids_p, data_t)
     return out[:num_segments]

@@ -81,9 +81,11 @@ def _wss_impl(data: jnp.ndarray, sorted_ids: jnp.ndarray,
     # Feature dim must respect the f32 sublane tile (8) for the kernel's
     # feature-major DMA; narrow data (coords [E,3], counts [E,1]) takes
     # the XLA path.
-    # VMEM ceiling: the kernel's per-window scratch is ~max_eb*(K+...)*4B;
-    # ultra-dense graphs (capacity == whole edge array) stay on XLA.
-    vmem_ok = max_eb * (data.shape[1] + 12) * 4 < 8 * 1024 * 1024
+    # VMEM ceiling: the kernel's per-window footprint is dominated by the
+    # [W, max_eb] one-hot/iota temporaries (~1KB/edge) plus the data
+    # scratch; the kernel requests a 100M scoped-vmem limit, so gate at
+    # 80M. Ultra-dense graphs (capacity == whole edge array) stay on XLA.
+    vmem_ok = max_eb * (1024 + 4 * data.shape[1] + 64) < 80 * 1024 * 1024
     if _use_pallas() and data.shape[0] >= 4 * window \
             and data.dtype == jnp.float32 and data.shape[1] % 8 == 0 \
             and vmem_ok:

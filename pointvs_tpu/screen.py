@@ -1,0 +1,170 @@
+"""Library-scale virtual screening: stream a ligand library against one
+receptor at maximum device throughput.
+
+The serving counterpart of training (BASELINE.json stretch config:
+"batched inference + attention attribution over ~1M poses"): big static
+batches through the fused inference engine, the receptor's pocket graph
+work shared via the in-memory structure cache, ranked CSV output, and
+optional attribution of the top hits.
+
+Usage:
+    python -m pointvs_tpu.screen <model_run_dir> <receptor.parquet> \
+        <ligand_glob_or_dir> --output hits.csv --batch_size 256 \
+        [--attribute_top 10 --attribution atom_masking]
+"""
+from __future__ import annotations
+
+import argparse
+import time
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+
+from pointvs_tpu.data.loader import get_data_loader
+from pointvs_tpu.logging import get_logger
+from pointvs_tpu.models.load_model import load_model
+from pointvs_tpu.utils import expand_path, mkdir
+
+LOG = get_logger('PointVS-TPU')
+
+
+def _collect_ligands(ligands) -> list:
+    path = Path(ligands)
+    if path.is_dir():
+        found = sorted(str(p) for p in path.glob('**/*.parquet'))
+    elif any(ch in str(ligands) for ch in '*?['):
+        import glob
+        found = sorted(glob.glob(str(ligands), recursive=True))
+    else:
+        found = [str(path)]
+    # Manifest paths resolve against '/', so they must be absolute.
+    return [str(expand_path(p)) for p in found]
+
+
+def screen(model_path, receptor, ligands, output='screen_results.csv',
+           batch_size: int = 256, radius: float = 10,
+           edge_radius: float = 4, estimate_bonds: bool = False,
+           attribute_top: int = 0, attribution: str = 'atom_masking',
+           num_devices=None) -> pd.DataFrame:
+    """Score every ligand against the receptor; returns the ranked frame."""
+    receptor = expand_path(receptor)
+    lig_files = _collect_ligands(ligands)
+    if not lig_files:
+        raise SystemExit(f'No ligand files found under {ligands}')
+    LOG.info(f'Screening {len(lig_files)} ligands against {receptor.name}')
+
+    # Order the library by ligand size (parquet metadata only — no data
+    # read): homogeneous batches hit far fewer padding buckets, so the
+    # whole screen compiles a handful of shapes instead of one per batch.
+    import pyarrow.parquet as pq
+
+    def _atoms(path):
+        try:
+            return pq.ParquetFile(path).metadata.num_rows
+        except Exception:
+            return 0
+
+    lig_files = sorted(lig_files, key=_atoms)
+
+    # Manifest: unlabelled `<rec> <lig>` rows relative to the filesystem
+    # root so the standard dataset machinery applies unchanged.
+    manifest = Path(output).with_suffix('.types')
+    mkdir(Path(output).parent if Path(output).parent != Path('') else '.')
+    manifest.write_text('\n'.join(
+        f'{receptor} {lig}' for lig in lig_files) + '\n')
+
+    from pointvs_tpu.inference import _auto_num_devices
+    trainer, model_kwargs, cmd_args = load_model(
+        model_path, num_devices=_auto_num_devices(batch_size, num_devices))
+    trainer.set_task(model_kwargs.get('model_task', 'classification')
+                     if model_kwargs.get('model_task') != 'both'
+                     else 'classification')
+
+    dl = get_data_loader(
+        '/', batch_size=batch_size,
+        compact=cmd_args.get('compact', True),
+        radius=cmd_args.get('radius', radius),
+        use_atomic_numbers=cmd_args.get('use_atomic_numbers', False),
+        rot=False, polar_hydrogens=cmd_args.get('hydrogens', False),
+        types_fname=manifest, mode='val',
+        model_task=trainer.model_task,
+        edge_radius=cmd_args.get('edge_radius', edge_radius),
+        estimate_bonds=cmd_args.get('estimate_bonds', estimate_bonds),
+        prune=cmd_args.get('prune', False),
+        num_devices=trainer.num_devices)
+
+    # One bucket for the whole screen: peek the largest batch's totals and
+    # pin the loader's bucket grids to single values, so exactly ONE
+    # program compiles regardless of library size.
+    probe = [dl.dataset[i] for i in
+             range(max(0, len(dl.dataset) - batch_size), len(dl.dataset))]
+    from pointvs_tpu.data.buckets import pick_bucket
+    n_fix = pick_bucket(max(1, sum(s.num_nodes for s in probe)),
+                        dl.node_buckets)
+    e_fix = pick_bucket(max(1, sum(s.num_edges for s in probe)),
+                        dl.edge_buckets)
+    dl.node_buckets = [n_fix]
+    dl.edge_buckets = [e_fix]
+    LOG.info(f'Screen bucket: {n_fix} nodes x {e_fix} edges')
+
+    eval_fn = trainer._eval_step()
+    rows = []
+    start = time.perf_counter()
+    for batch, meta in dl:
+        logits = eval_fn(trainer.params, trainer._to_device(batch))
+        logits = np.asarray(logits).reshape(-1, np.asarray(logits).shape[-1])
+        mask = np.asarray(batch.graph_mask).reshape(-1) > 0
+        scores = logits[mask]
+        if trainer.model_task == 'classification':
+            scores = 1 / (1 + np.exp(-scores[:, 0]))
+        else:
+            scores = scores.mean(axis=1)
+        for lig, score in zip(meta.lig_fnames, scores):
+            rows.append({'ligand': lig, 'score': float(score)})
+    elapsed = time.perf_counter() - start
+    LOG.info(f'Scored {len(rows)} poses in {elapsed:.1f}s '
+             f'({len(rows) / max(elapsed, 1e-9):.0f} poses/s end-to-end)')
+
+    df = pd.DataFrame(rows).sort_values(
+        'score', ascending=False).reset_index(drop=True)
+    df['rank'] = np.arange(1, len(df) + 1)
+    df.to_csv(output, index=False)
+    LOG.info(f'Ranked results written to {output}')
+
+    if attribute_top > 0:
+        from pointvs_tpu.attribution.attribution import score_atoms
+        from pointvs_tpu.attribution.attribution_fns import ATTRIBUTION_FNS
+        out_dir = mkdir(Path(output).with_suffix('') .parent
+                        / 'top_hit_attributions')
+        for _, hit in df.head(attribute_top).iterrows():
+            scored = score_atoms(
+                trainer, receptor, hit.ligand,
+                ATTRIBUTION_FNS[attribution],
+                radius=cmd_args.get('radius', radius),
+                edge_radius=cmd_args.get('edge_radius', edge_radius))
+            name = Path(hit.ligand).stem
+            scored.to_csv(out_dir / f'{name}_{attribution}.csv',
+                          index=False)
+        LOG.info(f'Attributions for top {attribute_top} hits in {out_dir}')
+    return df
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument('model', help='Trained run directory or checkpoint')
+    ap.add_argument('receptor', help='Receptor parquet')
+    ap.add_argument('ligands', help='Ligand dir, glob or single file')
+    ap.add_argument('--output', '-o', default='screen_results.csv')
+    ap.add_argument('--batch_size', '-b', type=int, default=256)
+    ap.add_argument('--attribute_top', type=int, default=0)
+    ap.add_argument('--attribution', default='atom_masking')
+    ap.add_argument('--num_devices', type=int, default=None)
+    args = ap.parse_args(argv)
+    screen(args.model, args.receptor, args.ligands, output=args.output,
+           batch_size=args.batch_size, attribute_top=args.attribute_top,
+           attribution=args.attribution, num_devices=args.num_devices)
+
+
+if __name__ == '__main__':
+    main()
