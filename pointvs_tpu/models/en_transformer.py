@@ -129,6 +129,9 @@ class EnTransformer(nn.Module):
     tanh: bool = True
     model_task: str = 'classification'
     final_softplus: bool = False
+    # Mesh axis the edge arrays are sharded over (edge-parallel
+    # 'graph sharding'); aggregations psum partial node sums over it.
+    edge_shard_axis: 'str | None' = None
 
     def setup(self):
         self.input_embed = TorchLinear(self.k, name='input_embed')
@@ -145,7 +148,8 @@ class EnTransformer(nn.Module):
         coord = batch.coords
         agg = EdgeAggregator(batch.senders, batch.receivers,
                              batch.recv_perm, batch.edge_mask,
-                             num_nodes=h.shape[0])
+                             num_nodes=h.shape[0],
+                             axis_name=self.edge_shard_axis)
         aux_layers = []
         for layer in self.tf_layers:
             h, coord, aux = layer(h, coord, agg, batch.edge_attr,

@@ -126,5 +126,9 @@ class CoorsNorm(nn.Module):
         scale = self.param(
             'scale', lambda key, shape: jnp.full(shape, self.scale_init),
             (1,))
-        norm = jnp.linalg.norm(rel_coors, axis=-1, keepdims=True)
-        return rel_coors / jnp.maximum(norm, self.eps) * scale
+        # Clamp INSIDE the sqrt: padding edges have rel_coors == 0, and
+        # sqrt'(0) = inf would leak NaN (inf * 0 cotangent) into every
+        # gradient even though the forward is masked downstream.
+        sq = jnp.sum(rel_coors ** 2, axis=-1, keepdims=True)
+        norm = jnp.sqrt(jnp.maximum(sq, self.eps ** 2))
+        return rel_coors / norm * scale

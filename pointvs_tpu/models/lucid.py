@@ -208,6 +208,9 @@ class LucidEGNN(nn.Module):
     thin_mlps: bool = False
     node_final_act: bool = False
     model_task: str = 'classification'
+    # Mesh axis the edge arrays are sharded over (edge-parallel
+    # 'graph sharding'); aggregations psum partial node sums over it.
+    edge_shard_axis: 'str | None' = None
 
     def setup(self):
         self.input_embed = nn.Dense(self.k, kernel_init=xavier_normal,
@@ -231,7 +234,8 @@ class LucidEGNN(nn.Module):
         h = jnp.concatenate([batch.coords, feats], axis=-1)
         agg = EdgeAggregator(batch.senders, batch.receivers,
                              batch.recv_perm, batch.edge_mask,
-                             num_nodes=h.shape[0])
+                             num_nodes=h.shape[0],
+                             axis_name=self.edge_shard_axis)
         aux_layers = []
         for layer in self.lucid_layers:
             h, aux = layer(h, batch, agg, batch.edge_mask, train=train,

@@ -1,4 +1,5 @@
-"""Graph-sharded (edge-parallel) inference for very large complexes.
+"""Graph-sharded (edge-parallel) inference and training for very large
+complexes.
 
 The context/sequence-parallelism analogue for graphs (SURVEY.md section
 5.7): one graph's edge list is split across the mesh; node arrays are
@@ -79,3 +80,70 @@ def make_sharded_forward(model, mesh: Mesh, axis_name: str = 'gp',
         return jax.tree.map(lambda x: x[0], sharded(params, batch))
 
     return jax.jit(forward)
+
+
+def init_sharded_params(model, sample: GraphSample, rng):
+    """Initialise params for an edge-sharded model.
+
+    ``model.init`` can't run the sharded forward directly — its psums
+    reference a mesh axis that is only bound inside shard_map — so init
+    runs on an unsharded clone over the full (unsplit) graph. Parameter
+    shapes are independent of the edge sharding, so the result is valid
+    for the sharded model.
+    """
+    unsharded = model.clone(edge_shard_axis=None)
+    batch = pad_graphs_to_batch([sample], num_graphs=1)
+    return jax.jit(unsharded.init)(rng, batch)
+
+
+def make_sharded_train_step(model, tx, model_task: str,
+                            regression_loss: str, mesh: Mesh,
+                            axis_name: str = 'gp') -> Callable:
+    """Edge-parallel training: jitted step(params, opt_state, batch, lr,
+    rng) -> (params, opt_state, loss) for ONE graph whose edge arrays are
+    sharded over ``axis_name`` (node arrays replicated, as produced by
+    shard_graph_batch).
+
+    Gradient correctness under shard_map(check_rep=False): every
+    aggregation in the forward is psum(partial_d), and psum transposes to
+    psum, so each device's raw grad is D * (its partial edge-path grad)
+    while node-path grads come out replicated (= the full grad). pmean
+    over the axis therefore recovers the exact full-graph gradient for
+    BOTH kinds of parameter — pinned numerically against the
+    single-device jax.grad by tests/test_graph_shard.py.
+
+    The model must be constructed with ``edge_shard_axis=axis_name``.
+    """
+    import jax.numpy as jnp
+
+    from pointvs_tpu.training.losses import loss_fn
+
+    def device_step(params, opt_state, batch, lr, rng):
+        batch = jax.tree.map(lambda x: x[0], batch)
+        # Per-edge dropout must differ per shard: fold in the device index.
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
+
+        def sum_loss(p):
+            logits = model.apply(p, batch, train=True,
+                                 rngs={'dropout': rng})
+            return loss_fn(logits, batch, model_task, regression_loss)
+
+        (loss_sum, weight), grads = jax.value_and_grad(
+            sum_loss, has_aux=True)(params)
+        grads = jax.lax.pmean(grads, axis_name)
+        # loss_sum/weight are computed from post-psum (replicated) logits
+        # and replicated labels, so they're already the full-graph values.
+        weight = jnp.maximum(weight, 1.0)
+        grads = jax.tree.map(lambda g: g / weight, grads)
+
+        updates, opt_state = tx.update(grads, opt_state, params)
+        updates = jax.tree.map(lambda u: -lr * u, updates)
+        params = jax.tree.map(lambda p, u: p + u, params, updates)
+        return params, opt_state, loss_sum / weight
+
+    sharded = shard_map(
+        device_step, mesh=mesh,
+        in_specs=(P(), P(), P(axis_name), P(), P()),
+        out_specs=(P(), P(), P()),
+        check_rep=False)
+    return jax.jit(sharded, donate_argnums=(0, 1))

@@ -1,5 +1,6 @@
-"""Graph-sharded (edge-parallel) inference parity: splitting one graph's
-edges over a 4-device mesh must reproduce the single-device forward."""
+"""Graph-sharded (edge-parallel) parity: splitting one graph's edges over
+a 4-device mesh must reproduce the single-device forward, gradients and
+optimiser step."""
 import jax
 import numpy as np
 import pytest
@@ -25,7 +26,8 @@ def _sample():
     return ds[0]
 
 
-def test_edge_parallel_matches_single_device():
+@pytest.mark.parametrize('name', ['egnn', 'lucid', 'en_transformer'])
+def test_edge_parallel_matches_single_device(name):
     if len(jax.devices()) < 4:
         pytest.skip('needs 4 virtual devices')
     sample = _sample()
@@ -33,12 +35,12 @@ def test_edge_parallel_matches_single_device():
     # Single-device truth
     from pointvs_tpu.data.buckets import pad_graphs_to_batch
     full_batch = pad_graphs_to_batch([sample], num_graphs=1)
-    model = build_model('egnn', **MODEL_KWARGS)
+    model = build_model(name, **MODEL_KWARGS)
     params = model.init(jax.random.PRNGKey(2), full_batch)
     expected = np.asarray(model.apply(params, full_batch))
 
     # Edge-parallel over 4 devices
-    sharded_model = build_model('egnn', edge_shard_axis='gp',
+    sharded_model = build_model(name, edge_shard_axis='gp',
                                 **MODEL_KWARGS)
     mesh = get_mesh(4, axis_name='gp')
     batch = shard_graph_batch(sample, 4)
@@ -46,3 +48,93 @@ def test_edge_parallel_matches_single_device():
     got = np.asarray(fwd(replicate(params, mesh),
                          shard_batch(batch, mesh, axis_name='gp')))
     np.testing.assert_allclose(got, expected, atol=2e-5)
+
+
+def test_edge_parallel_train_step_matches_single_device():
+    """One edge-parallel optimiser step == the unsharded step: pmean of
+    per-device grads recovers the exact full-graph gradient (psum
+    transposes to psum under check_rep=False), so post-step params must
+    agree to float accumulation noise."""
+    if len(jax.devices()) < 4:
+        pytest.skip('needs 4 virtual devices')
+    from pointvs_tpu.data.buckets import pad_graphs_to_batch
+    from pointvs_tpu.parallel.graph_shard import make_sharded_train_step
+    from pointvs_tpu.training.losses import loss_fn
+    from pointvs_tpu.training.optimisers import build_optimiser
+
+    sample = _sample()
+    full = pad_graphs_to_batch([sample], num_graphs=1)
+    model = build_model('egnn', **MODEL_KWARGS)
+    params = model.init(jax.random.PRNGKey(2), full)
+    # SGD: the update is linear in the gradient, so parity holds to
+    # float noise (Adam's first step is ~sign(g) and amplifies it).
+    tx = build_optimiser('sgd', weight_decay=1e-4)
+    opt_state = tx.init(params)
+    rng = jax.random.PRNGKey(7)
+
+    # Single-device truth (dropout=0, so rng folding is irrelevant).
+    def sum_loss(p):
+        logits = model.apply(p, full, train=True, rngs={'dropout': rng})
+        return loss_fn(logits, full, 'classification', 'mse')
+
+    (loss_sum, weight), grads = jax.value_and_grad(
+        sum_loss, has_aux=True)(params)
+    grads = jax.tree.map(lambda g: g / max(float(weight), 1.0), grads)
+    updates, _ = tx.update(grads, opt_state, params)
+    expected = jax.tree.map(lambda p, u: p - 1e-3 * u, params, updates)
+    expected_loss = float(loss_sum) / max(float(weight), 1.0)
+
+    # Edge-parallel over 4 devices.
+    sharded_model = build_model('egnn', edge_shard_axis='gp',
+                                **MODEL_KWARGS)
+    mesh = get_mesh(4, axis_name='gp')
+    batch = shard_batch(shard_graph_batch(sample, 4), mesh, axis_name='gp')
+    step = make_sharded_train_step(sharded_model, tx, 'classification',
+                                   'mse', mesh)
+    # The step donates its params/opt_state buffers; give it copies so the
+    # reference pytrees stay alive.
+    copy = lambda t: jax.tree.map(lambda x: np.array(x), t)
+    new_params, _, loss = step(replicate(copy(params), mesh),
+                               replicate(copy(opt_state), mesh), batch,
+                               jax.numpy.float32(1e-3), rng)
+
+    assert abs(float(loss) - expected_loss) < 1e-5
+    _check_params_close(expected, new_params, params)
+
+
+def _check_params_close(expected, new_params, params):
+    scale = max(float(np.max(np.abs(np.asarray(l))))
+                for l in jax.tree.leaves(params))
+    for e, g in zip(jax.tree.leaves(expected), jax.tree.leaves(new_params)):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(e),
+                                   atol=1e-5 * scale)
+
+
+def test_lucid_edge_parallel_training_no_nan():
+    """Lucid edge-parallel training end-to-end: also a regression test for
+    the CoorsNorm NaN (sqrt differentiated at 0 on padding edges leaked
+    NaN into every gradient from step 1)."""
+    if len(jax.devices()) < 4:
+        pytest.skip('needs 4 virtual devices')
+    import jax.numpy as jnp
+    from pointvs_tpu.parallel.graph_shard import (
+        init_sharded_params, make_sharded_train_step)
+    from pointvs_tpu.training.optimisers import build_optimiser
+
+    sample = _sample()
+    model = build_model('lucid', edge_shard_axis='gp', k=32, dim_input=12,
+                        dim_output=1, num_layers=4, attention=True)
+    params = init_sharded_params(model, sample, jax.random.PRNGKey(0))
+    mesh = get_mesh(4, axis_name='gp')
+    batch = shard_batch(shard_graph_batch(sample, 4), mesh, axis_name='gp')
+    tx = build_optimiser('adam', 1e-4)
+    step = make_sharded_train_step(model, tx, 'classification', 'mse',
+                                   mesh)
+    p, o = replicate(params, mesh), replicate(tx.init(params), mesh)
+    losses = []
+    for i in range(5):
+        p, o, loss = step(p, o, batch, jnp.float32(3e-3),
+                          jax.random.PRNGKey(i))
+        losses.append(float(loss))
+    assert not np.isnan(losses[-1])
+    assert losses[-1] < losses[0]
