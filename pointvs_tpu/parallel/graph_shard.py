@@ -147,3 +147,63 @@ def make_sharded_train_step(model, tx, model_task: str,
         out_specs=(P(), P(), P()),
         check_rep=False)
     return jax.jit(sharded, donate_argnums=(0, 1))
+
+
+def stack_2d_batches(samples, n_gp: int):
+    """len(samples) == n_dp GraphSamples -> GraphBatch pytree of
+    [n_dp, n_gp, ...] arrays: one graph per dp row, its edges split over
+    the gp columns (node arrays replicated along gp)."""
+    per_dp = [shard_graph_batch(s, n_gp) for s in samples]
+    return jax.tree.map(lambda *xs: np.stack(xs), *per_dp)
+
+
+def make_train_step_2d(model, tx, model_task: str, regression_loss: str,
+                       mesh: Mesh, dp_axis: str = 'dp',
+                       gp_axis: str = 'gp') -> Callable:
+    """Combined data-parallel x edge-parallel training over a 2-D mesh
+    (mesh.get_mesh_2d): each dp row trains on its own graph, whose edges
+    are split over the gp columns.
+
+    Gradient flow: pmean over gp recovers each row's exact full-graph
+    gradient (see make_sharded_train_step); the rows then combine with
+    the same psum(loss_sum)/psum(weight) scheme as the 1-D DP step, so
+    results are bitwise-comparable to DP-only training on the same
+    graphs.
+
+    The model must be constructed with ``edge_shard_axis=gp_axis``.
+    """
+    import jax.numpy as jnp
+
+    from pointvs_tpu.training.losses import loss_fn
+
+    def device_step(params, opt_state, batch, lr, rng):
+        batch = jax.tree.map(lambda x: x[0, 0], batch)
+        # One dropout stream per dp row, IDENTICAL across gp columns:
+        # node arrays are replicated over gp, so per-column masks would
+        # desynchronise the replicated node state that the psums assume.
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(dp_axis))
+
+        def sum_loss(p):
+            logits = model.apply(p, batch, train=True,
+                                 rngs={'dropout': rng})
+            return loss_fn(logits, batch, model_task, regression_loss)
+
+        (loss_sum, weight), grads = jax.value_and_grad(
+            sum_loss, has_aux=True)(params)
+        grads = jax.lax.pmean(grads, gp_axis)
+        grads = jax.lax.psum(grads, dp_axis)
+        loss_sum = jax.lax.psum(loss_sum, dp_axis)
+        weight = jnp.maximum(jax.lax.psum(weight, dp_axis), 1.0)
+        grads = jax.tree.map(lambda g: g / weight, grads)
+
+        updates, opt_state = tx.update(grads, opt_state, params)
+        updates = jax.tree.map(lambda u: -lr * u, updates)
+        params = jax.tree.map(lambda p, u: p + u, params, updates)
+        return params, opt_state, loss_sum / weight
+
+    sharded = shard_map(
+        device_step, mesh=mesh,
+        in_specs=(P(), P(), P(dp_axis, gp_axis), P(), P()),
+        out_specs=(P(), P(), P()),
+        check_rep=False)
+    return jax.jit(sharded, donate_argnums=(0, 1))

@@ -25,6 +25,18 @@ def get_mesh(num_devices: Optional[int] = None,
     return Mesh(np.asarray(devices), (axis_name,))
 
 
+def get_mesh_2d(n_dp: int, n_gp: int,
+                devices: Optional[Sequence] = None,
+                axis_names: Sequence[str] = ('dp', 'gp')) -> Mesh:
+    """2-D mesh: data parallelism over graphs x edge parallelism within
+    each graph. The gp axis is the minor (fastest-varying) one so its
+    psums ride neighbouring-chip ICI links."""
+    if devices is None:
+        devices = jax.devices()
+    devices = np.asarray(devices[:n_dp * n_gp]).reshape(n_dp, n_gp)
+    return Mesh(devices, tuple(axis_names))
+
+
 def replicate(tree, mesh: Mesh):
     """Place a pytree fully replicated on the mesh."""
     sharding = NamedSharding(mesh, P())

@@ -138,3 +138,62 @@ def test_lucid_edge_parallel_training_no_nan():
         losses.append(float(loss))
     assert not np.isnan(losses[-1])
     assert losses[-1] < losses[0]
+
+
+def test_2d_dp_gp_matches_dp_only():
+    """dp x gp (2x2) one-step training == plain 2-device DP on the same
+    two graphs: the gp pmean recovers each row's exact gradient, and the
+    dp combine uses the identical psum(loss_sum)/psum(weight) scheme."""
+    if len(jax.devices()) < 4:
+        pytest.skip('needs 4 virtual devices')
+    import jax.numpy as jnp
+    from pointvs_tpu.data.buckets import (
+        pad_graphs_to_batch, stack_device_batches)
+    from pointvs_tpu.parallel.graph_shard import (
+        make_train_step_2d, stack_2d_batches)
+    from pointvs_tpu.parallel.mesh import get_mesh_2d
+    from pointvs_tpu.parallel.steps import make_train_step
+    from pointvs_tpu.training.optimisers import build_optimiser
+
+    from pointvs_tpu.data.dataset import PointCloudDataset
+    ds = PointCloudDataset(
+        RESOURCES, radius=4, polar_hydrogens=False, compact=True,
+        types_fname=RESOURCES / 'test.types', edge_radius=4,
+        estimate_bonds=True, model_task='classification')
+    samples = [ds[0], ds[1]]
+
+    model = build_model('egnn', **MODEL_KWARGS)
+    full = pad_graphs_to_batch([samples[0]], num_graphs=1)
+    params = model.init(jax.random.PRNGKey(2), full)
+    tx = build_optimiser('sgd', weight_decay=1e-4)
+    opt_state = tx.init(params)
+    rng = jax.random.PRNGKey(7)
+    lr = jax.numpy.float32(1e-3)
+    copy = lambda t: jax.tree.map(lambda x: np.array(x), t)
+
+    # Reference: plain DP over 2 devices, one graph each.
+    dp_mesh = get_mesh(2, axis_name='dp')
+    dp_batch = stack_device_batches(
+        [pad_graphs_to_batch([s], num_graphs=1) for s in samples])
+    dp_step = make_train_step(model, tx, 'classification', 'mse', dp_mesh)
+    exp_params, _, exp_loss = dp_step(
+        replicate(copy(params), dp_mesh), replicate(copy(opt_state),
+                                                    dp_mesh),
+        shard_batch(dp_batch, dp_mesh), lr, rng)
+
+    # 2x2: same two graphs, each edge-split over 2 gp columns.
+    sharded_model = build_model('egnn', edge_shard_axis='gp',
+                                **MODEL_KWARGS)
+    mesh2d = get_mesh_2d(2, 2)
+    batch2d = jax.device_put(
+        stack_2d_batches(samples, n_gp=2),
+        jax.sharding.NamedSharding(mesh2d,
+                                   jax.sharding.PartitionSpec('dp', 'gp')))
+    step2d = make_train_step_2d(sharded_model, tx, 'classification',
+                                'mse', mesh2d)
+    got_params, _, got_loss = step2d(
+        replicate(copy(params), mesh2d),
+        replicate(copy(opt_state), mesh2d), batch2d, lr, rng)
+
+    assert abs(float(got_loss) - float(exp_loss)) < 1e-5
+    _check_params_close(exp_params, got_params, params)
