@@ -120,6 +120,12 @@ def parse_args(argv=None):
     parser.add_argument('--debug_nans', action='store_true',
                         help='Enable jax debug_nans (errors at the first '
                              'NaN-producing op instead of the loss guard)')
+    parser.add_argument('--bf16', action='store_true',
+                        help='Mixed precision: feature-path MLPs and '
+                             'attention in bfloat16 (params, geometry, '
+                             'head and loss stay f32). ~2x MXU throughput '
+                             'for ~1e-2 relative activation error; EGNN '
+                             'family only (ignored by other models)')
     parser.add_argument('--remat', action='store_true',
                         help='Rematerialise each EGNN layer in backward '
                              '(jax.checkpoint): O(depth) activation memory '
@@ -175,4 +181,5 @@ def model_kwargs_from_args(args, dim_input: int) -> dict:
         'softmax_attention': args.softmax_attention,
         'fourier_features': args.fourier_features,
         'remat': args.remat,
+        'bf16': args.bf16,
     }

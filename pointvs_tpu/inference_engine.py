@@ -48,6 +48,9 @@ def supports_fusion(model) -> bool:
     return (isinstance(model, (SartorrasEGNN, MultitaskSatorrasEGNN))
             and not model.permutation_invariance
             and model.dropout == 0
+            # The fused kernel is f32; bf16 models fall back to the
+            # module forward so train/eval numerics agree.
+            and not model.bf16
             and not (model.edge_residual
                      and (model.rezero or model.gated_residual)))
 

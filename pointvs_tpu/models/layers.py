@@ -40,10 +40,15 @@ def xavier_normal(key, shape, dtype=jnp.float32):
 
 
 class TorchLinear(nn.Module):
-    """Dense layer with torch.nn.Linear's default initialisation."""
+    """Dense layer with torch.nn.Linear's default initialisation.
+
+    ``dtype`` is the flax computation dtype: params stay float32 and are
+    cast down per-op (mixed-precision bf16 mode). None keeps full f32.
+    """
     features: int
     use_bias: bool = True
     kernel_init: Optional[Callable] = None
+    dtype: Optional[type] = None
 
     @nn.compact
     def __call__(self, x):
@@ -55,7 +60,8 @@ class TorchLinear(nn.Module):
             return random.uniform(key, shape, dtype, -bound, bound)
 
         return nn.Dense(self.features, use_bias=self.use_bias,
-                        kernel_init=kernel_init, bias_init=bias_init)(x)
+                        kernel_init=kernel_init, bias_init=bias_init,
+                        dtype=self.dtype)(x)
 
 
 ACTIVATIONS = {
@@ -86,6 +92,7 @@ class MLP(nn.Module):
     final_kernel_init: Optional[Callable] = None
     final_bias: bool = True
     kernel_init: Optional[Callable] = None
+    dtype: Optional[type] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -96,7 +103,8 @@ class MLP(nn.Module):
                                                 self.final_kernel_init)
                      else self.kernel_init)
             x = TorchLinear(feats, kernel_init=kinit,
-                            use_bias=self.final_bias if is_final else True)(x)
+                            use_bias=self.final_bias if is_final else True,
+                            dtype=self.dtype)(x)
             if self.dropout_rate > 0 and i in self.dropout_after:
                 x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
             x = activation(self.acts[i])(x)

@@ -96,6 +96,9 @@ class EdgeAggregator:
             mask = self.edge_mask
         if mask is None:
             return data
+        # Cast the (f32) mask to the data dtype: in bf16 mode a f32 mask
+        # would silently promote the whole aggregation back to f32.
+        mask = mask.astype(data.dtype)
         return data * (mask[:, None] if data.ndim > 1 else mask)
 
     def sum_to_src(self, data, mask=None):
@@ -116,8 +119,9 @@ class EdgeAggregator:
         mask = self.edge_mask if mask is None else mask
         squeeze = logits.ndim == 2 and logits.shape[-1] == 1
         flat = logits[:, 0] if squeeze else logits
-        guarded = jnp.where(mask > 0, flat, -1e30) if mask is not None \
-            else flat
+        guarded = jnp.where(mask > 0, flat,
+                            jnp.asarray(-1e30, flat.dtype)) \
+            if mask is not None else flat
         seg_max = self._pmax(windowed_segment_max(
             guarded, self.senders, self.num_nodes))
         seg_max = jnp.where(seg_max > -1e29, seg_max, 0.0)
@@ -127,7 +131,7 @@ class EdgeAggregator:
             seg_max[jnp.minimum(self.senders, self.num_nodes - 1)])
         expd = jnp.exp(flat - shift)
         if mask is not None:
-            expd = expd * mask
+            expd = expd * mask.astype(expd.dtype)
         denom = self._psum(windowed_segment_sum(
             expd, self.senders, self.num_nodes))
         denom_e = gather_by_sorted_ids(
