@@ -33,7 +33,8 @@ from pointvs_tpu.models.layers import (
     xavier_normal,
 )
 from pointvs_tpu.ops.aggregate import EdgeAggregator
-from pointvs_tpu.ops.graphnorm import GraphNorm, _masked_graph_mean
+from pointvs_tpu.ops.graphnorm import (GraphNorm, _masked_graph_mean,
+                                       broadcast_per_graph)
 from pointvs_tpu.ops.segment import masked_graph_mean_pool
 
 
@@ -47,14 +48,16 @@ class GraphLayerNorm(nn.Module):
     def __call__(self, x, graph_id, num_graphs, node_mask):
         weight = self.param('weight', nn.initializers.ones, (self.features,))
         bias = self.param('bias', nn.initializers.zeros, (self.features,))
-        ids = jnp.minimum(graph_id, num_graphs - 1)
-        # Scalar per-graph mean over all node-channel entries.
+        # Scalar per-graph mean over all node-channel entries. The
+        # per-graph stats are broadcast back with one-hot matmuls: a plain
+        # [G, 1] gather transposes to a serialized XLA scatter on TPU.
         row_mean = jnp.mean(x, axis=-1, keepdims=True)  # [N, 1]
         mean = _masked_graph_mean(row_mean, graph_id, num_graphs, node_mask)
-        centred = x - mean[ids]
+        centred = x - broadcast_per_graph(mean, graph_id, num_graphs)
         row_sq = jnp.mean(centred * centred, axis=-1, keepdims=True)
         var = _masked_graph_mean(row_sq, graph_id, num_graphs, node_mask)
-        out = centred / jnp.sqrt(var[ids] + self.eps)
+        out = centred / jnp.sqrt(
+            broadcast_per_graph(var, graph_id, num_graphs) + self.eps)
         return out * weight + bias
 
 
