@@ -72,7 +72,8 @@ def bench_tpu(samples) -> float:
     stacked = stack_device_batches([batch])
 
     model = build_model(
-        'egnn', dim_input=DIM_INPUT, k=K, dim_output=1, num_layers=LAYERS,
+        'egnn', dim_input=DIM_INPUT, k=K, dim_output=1,
+        scan_layers=True, num_layers=LAYERS,
         edge_attention=False, normalize=False, tanh=False, graphnorm=False,
         residual=False)
     # jit the init: besides being minutes faster over the remote tunnel,
@@ -126,7 +127,8 @@ def bench_tpu(samples) -> float:
     # Secondary: production-scale config (12 layers, softmax attention,
     # graphnorm — the author-scale architecture family).
     deep = build_model(
-        'egnn', dim_input=DIM_INPUT, k=K, dim_output=1, num_layers=12,
+        'egnn', dim_input=DIM_INPUT, k=K, dim_output=1,
+        scan_layers=True, num_layers=12,
         edge_attention=True, softmax_attention=True, normalize=True,
         tanh=True, graphnorm=True, residual=True)
     dparams = jax.jit(deep.init)(jax.random.PRNGKey(0), batch)

@@ -120,6 +120,12 @@ def parse_args(argv=None):
     parser.add_argument('--debug_nans', action='store_true',
                         help='Enable jax debug_nans (errors at the first '
                              'NaN-producing op instead of the loss guard)')
+    parser.add_argument('--no_scan_layers', action='store_true',
+                        help='Disable nn.scan layer-stacking (stacked '
+                             '[L, ...] param leaves; measured 14x faster '
+                             'full training step at 12 layers on v5e). '
+                             'Checkpoints are layout-specific, so use '
+                             'this only to load pre-scan checkpoints')
     parser.add_argument('--bf16', action='store_true',
                         help='Mixed precision: feature-path MLPs and '
                              'attention in bfloat16 (params, geometry, '
@@ -182,4 +188,11 @@ def model_kwargs_from_args(args, dim_input: int) -> dict:
         'fourier_features': args.fourier_features,
         'remat': args.remat,
         'bf16': args.bf16,
+        # scan_layers needs a uniform layer stack: the multitask
+        # first/final-only attention switches make layers heterogeneous.
+        'scan_layers': not args.no_scan_layers and not (
+            getattr(args, 'node_attention_final_only', False)
+            or getattr(args, 'edge_attention_final_only', False)
+            or getattr(args, 'node_attention_first_only', False)
+            or getattr(args, 'edge_attention_first_only', False)),
     }

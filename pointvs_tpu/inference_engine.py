@@ -133,7 +133,9 @@ def fused_forward(model, params, batch: GraphBatch,
     edge_messages_t = None
     for i in range(model.num_layers):
         attention = _layer_attention(model, i)
-        lp = p[f'egnn_layer_{i}']
+        # scan_layers stacks each leaf [L, ...]; slice layer i out.
+        lp = (jax.tree.map(lambda x, i=i: x[i], p['egnn_scan'])
+              if model.scan_layers else p[f'egnn_layer_{i}'])
         # coord2radial
         coord_s = coord[senders_c] * valid_e[:, None]
         coord_r = coord[receivers_c] * valid_e[:, None]

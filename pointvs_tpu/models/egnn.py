@@ -113,9 +113,14 @@ class EGNNLayer(nn.Module):
 
     def __call__(self, h, coord, edge_messages, agg: EdgeAggregator,
                  edge_attr, edge_mask, node_mask, graph_id, num_graphs,
-                 train: bool = False, capture_aux: bool = False
+                 train: bool = False, capture_aux: bool = False,
+                 has_prev=None
                  ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
                             Dict[str, Any]]:
+        # ``has_prev`` (scan_layers mode): a traced bool selecting whether
+        # the edge-message residual applies — under nn.scan the first
+        # iteration carries zeros instead of None, and the gated/rezero
+        # variants are NOT identity on zeros.
         aux: Dict[str, Any] = {}
 
         # --- coord2radial (ref :178-187) ---
@@ -145,13 +150,15 @@ class EGNNLayer(nn.Module):
         # --- edge-message residual (ref :194-202) ---
         if self.edge_residual and edge_messages is not None:
             if self.rezero:
-                edge_feat = edge_messages + \
+                res = edge_messages + \
                     self.edge_gate.astype(edge_feat.dtype) * edge_feat
             elif self.gated_residual:
                 gate = nn.relu(self.edge_gate).astype(edge_feat.dtype)
-                edge_feat = gate * edge_feat + (1 - gate) * edge_messages
+                res = gate * edge_feat + (1 - gate) * edge_messages
             else:
-                edge_feat = edge_feat + edge_messages
+                res = edge_feat + edge_messages
+            edge_feat = res if has_prev is None else \
+                jnp.where(has_prev, res, edge_feat)
 
         # --- coord model (ref :168-176) ---
         if self.update_coords:
@@ -194,6 +201,25 @@ class EGNNLayer(nn.Module):
         return out, coord, edge_feat, aux
 
 
+class _EGNNScanBody(EGNNLayer):
+    """EGNNLayer adapted to nn.scan's (carry, *xs) calling convention.
+
+    The carry is (h, coord, edge_messages); has_prev is the only
+    per-layer scan input (it disables the edge-message residual on the
+    first iteration); everything else rides along as nn.broadcast —
+    including the Python statics (num_graphs, train, capture_aux), which
+    broadcast passes through unsliced.
+    """
+
+    def __call__(self, carry, has_prev, agg, edge_attr, edge_mask,
+                 node_mask, graph_id, num_graphs, train, capture_aux):
+        h, coord, prev = carry
+        h, coord, edge_feat, aux = EGNNLayer.__call__(
+            self, h, coord, prev, agg, edge_attr, edge_mask, node_mask,
+            graph_id, num_graphs, train, capture_aux, has_prev=has_prev)
+        return (h, coord, edge_feat), aux
+
+
 class SartorrasEGNN(nn.Module):
     """Full network: input embedding + N EGNN layers + pooled FC head
     (ref SartorrasEGNN.build_net, egnn_satorras.py:209-329)."""
@@ -232,6 +258,13 @@ class SartorrasEGNN(nn.Module):
     # MXU throughput at the cost of ~1e-2 relative activation error —
     # the 3e-5 invariance gates apply to f32 mode only.
     bf16: bool = False
+    # Stack the (identical) layers' params along a leading [L, ...] axis
+    # and run them with nn.scan: L-times fewer param leaves (so L-times
+    # fewer tiny optimiser kernels — per-leaf launch overhead measured at
+    # ~7 us/leaf on v5e) and one traced layer instead of L at compile
+    # time. Param tree differs from the unrolled layout, so checkpoints
+    # are not interchangeable between modes.
+    scan_layers: bool = False
 
     def _make_layers(self):
         layer_cls = EGNNLayer
@@ -240,9 +273,14 @@ class SartorrasEGNN(nn.Module):
             # capture_aux=11 are static; the EdgeAggregator (4) is a
             # registered pytree and passes through as data.
             layer_cls = nn.remat(EGNNLayer, static_argnums=(9, 10, 11))
-        dtype = jnp.bfloat16 if self.bf16 else None
-        return [layer_cls(
-            input_nf=self.k, output_nf=self.k, hidden_nf=self.k, dtype=dtype,
+        return [layer_cls(**self._layer_kwargs(),
+                          name=f'egnn_layer_{i}')
+                for i in range(self.num_layers)]
+
+    def _layer_kwargs(self):
+        return dict(
+            input_nf=self.k, output_nf=self.k, hidden_nf=self.k,
+            dtype=jnp.bfloat16 if self.bf16 else None,
             edges_in_d=3, act=self.act, residual=self.residual,
             edge_attention=self.edge_attention, normalize=self.normalize,
             graphnorm=self.graphnorm, tanh=self.tanh,
@@ -252,14 +290,39 @@ class SartorrasEGNN(nn.Module):
             node_attention=self.node_attention,
             edge_residual=self.edge_residual,
             gated_residual=self.gated_residual, rezero=self.rezero,
-            softmax_attention=self.softmax_attention,
-            name=f'egnn_layer_{i}') for i in range(self.num_layers)]
+            softmax_attention=self.softmax_attention)
+
+    def _make_scanned(self):
+        body = _EGNNScanBody
+        if self.remat:
+            # (self=0, carry=1, has_prev=2, agg..graph_id=3..7,
+            #  num_graphs=8, train=9, capture_aux=10 are static)
+            body = nn.remat(body, static_argnums=(8, 9, 10))
+        cls = nn.scan(
+            body, variable_axes={'params': 0},
+            split_rngs={'params': True, 'dropout': True},
+            length=self.num_layers,
+            in_axes=(0,) + (nn.broadcast,) * 8,
+            out_axes=0,
+            # Full unroll: params stay stacked [L, ...] (the optimiser
+            # win) but XLA sees straight-line compute — a rolled
+            # lax.scan measured 65x slower per step on v5e (per-
+            # iteration launch overhead on the windowed-scatter ops).
+            unroll=self.num_layers)
+        return cls(**self._layer_kwargs(), name='egnn_scan')
+
+    def _setup_layers(self):
+        if self.scan_layers:
+            self.egnn_scan = self._make_scanned()
+            self.egnn_layers = ()
+        else:
+            self.egnn_layers = self._make_layers()
 
     def setup(self):
         self.input_embed = TorchLinear(
             self.k, dtype=jnp.bfloat16 if self.bf16 else None,
             name='input_embed')
-        self.egnn_layers = self._make_layers()
+        self._setup_layers()
         head_in = self.k + (1 if self.include_strain_info else 0)
         if self.multi_fc:
             dims, acts = ((32, 16, self.dim_output),
@@ -292,6 +355,17 @@ class SartorrasEGNN(nn.Module):
                              batch.recv_perm, edge_mask,
                              num_nodes=batch.node_feats.shape[0],
                              axis_name=self.edge_shard_axis)
+        if self.scan_layers:
+            prev0 = jnp.zeros((batch.senders.shape[0], self.k), h.dtype)
+            has_prev = jnp.arange(self.num_layers) > 0
+            (h, coord, edge_messages), aux_stack = self.egnn_scan(
+                (h, coord, prev0), has_prev, agg, edge_attr, edge_mask,
+                batch.node_mask, batch.graph_id, batch.num_graphs, train,
+                capture_aux)
+            aux_layers = ([jax.tree.map(lambda a, i=i: a[i], aux_stack)
+                           for i in range(self.num_layers)]
+                          if capture_aux else [])
+            return h, edge_messages, aux_layers
         edge_messages = None
         aux_layers = []
         for layer in self.egnn_layers:

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from typing import Any, Dict, Tuple
 
+import jax.numpy as jnp
 from flax import linen as nn
 
 from pointvs_tpu.data.buckets import GraphBatch
@@ -38,28 +39,31 @@ class MultitaskSatorrasEGNN(SartorrasEGNN):
     def _make_layers(self):
         layers = []
         for i in range(self.num_layers):
-            layers.append(EGNNLayer(
-                input_nf=self.k, output_nf=self.k, hidden_nf=self.k,
-                edges_in_d=3, act=self.act, residual=self.residual,
+            kwargs = dict(
+                self._layer_kwargs(),
                 edge_attention=_apply_switch(
                     self.edge_attention, self.edge_attention_first_only,
                     self.edge_attention_final_only, i, self.num_layers),
-                normalize=self.normalize, graphnorm=self.graphnorm,
-                tanh=self.tanh, update_coords=self.update_coords,
-                permutation_invariance=self.permutation_invariance,
-                attention_activation_fn=self.attention_activation_fn,
                 node_attention=_apply_switch(
                     self.node_attention, self.node_attention_first_only,
-                    self.node_attention_final_only, i, self.num_layers),
-                edge_residual=self.edge_residual,
-                gated_residual=self.gated_residual, rezero=self.rezero,
-                softmax_attention=self.softmax_attention,
-                name=f'egnn_layer_{i}'))
+                    self.node_attention_final_only, i, self.num_layers))
+            layers.append(EGNNLayer(**kwargs, name=f'egnn_layer_{i}'))
         return layers
 
     def setup(self):
-        self.input_embed = TorchLinear(self.k, name='input_embed')
-        self.egnn_layers = self._make_layers()
+        if self.scan_layers:
+            # nn.scan shares one layer config across the stack; the
+            # first/final-only attention switches make layers heterogeneous.
+            assert not (self.node_attention_final_only
+                        or self.edge_attention_final_only
+                        or self.node_attention_first_only
+                        or self.edge_attention_first_only), \
+                'scan_layers is incompatible with per-layer attention ' \
+                'switches (first/final-only)'
+        self.input_embed = TorchLinear(
+            self.k, dtype=jnp.bfloat16 if self.bf16 else None,
+            name='input_embed')
+        self._setup_layers()
         # Pose head: Linear(k, 1); affinity head: Linear(k, dim_output) +
         # Softplus/ReLU (ref egnn_multitask.py:141-146).
         self.head_pose = MLP(features=(1,), acts=('identity',),
