@@ -125,6 +125,9 @@ class PointCloudDataset:
         # Budgeted; disabled per item once the budget is exhausted.
         self._mem_cache = {} if in_memory_cache else None
         self._mem_cache_budget = memory_cache_bytes
+        # Files whose existence has already been verified (stat once per
+        # file, not twice per item per epoch).
+        self._seen_files: set = set()
 
         self.use_types = types_fname is not None
         self.sample_weights = None
@@ -275,10 +278,10 @@ class PointCloudDataset:
     def _build_struct(self, lig_fname, rec_fname, aug_angle: float):
         """parquets -> concatenated, boxed, element-filtered struct dict."""
         from pointvs_tpu.data import fast_structs as fs
-        if aug_angle or str(lig_fname).rsplit('.', 1)[-1] != 'parquet' \
+        if str(lig_fname).rsplit('.', 1)[-1] != 'parquet' \
                 or str(rec_fname).rsplit('.', 1)[-1] != 'parquet':
-            # Augmented actives (ligand re-rotation) and non-parquet inputs
-            # go through the reference-semantics pandas path.
+            # Non-parquet inputs go through the reference-semantics
+            # pandas path.
             struct = make_box(
                 concat_structs(rec_fname, lig_fname, self.n_features,
                                min_lig_rotation=aug_angle,
@@ -287,10 +290,18 @@ class PointCloudDataset:
                 radius=self.radius, relative_to_ligand=True)
             struct = {k: struct[k].to_numpy() for k in fs.KEYS}
         else:
+            # Augmented actives re-rotate the (lru-cached) raw ligand in
+            # numpy: they bypass the boxed-graph caches every epoch, and
+            # the pandas+parquet path made them ~4x the cost of a normal
+            # item — 165 fresh parquet reads per hot epoch on
+            # small_chembl.
+            lig_struct = fs.read_struct(str(lig_fname))
+            if aug_angle:
+                lig_struct = fs.rotate_struct(lig_struct, aug_angle,
+                                              self.rng)
             struct = fs.box_np(
                 fs.concat_structs_np(
-                    fs.read_struct(str(rec_fname)),
-                    fs.read_struct(str(lig_fname)),
+                    fs.read_struct(str(rec_fname)), lig_struct,
                     self.n_features, extended=self.extended_atom_types),
                 radius=self.radius)
         if not self.polar_hydrogens:
@@ -309,11 +320,19 @@ class PointCloudDataset:
         if self.edge_radius >= 0:
             struct, rows, cols, attrs = fs.edges_np(
                 struct, edge_radius, intra_radius, prune=self.prune)
+            rows = rows.astype(np.int32)
+            cols = cols.astype(np.int32)
+            # Sort by sender once HERE (cached across epochs): the batch
+            # collator requires destination-sorted edges, and a sorted
+            # concatenation of sorted lists lets it skip four full-batch
+            # gathers per batch.
+            if len(rows) and not np.all(rows[1:] >= rows[:-1]):
+                order = np.argsort(rows, kind='stable')
+                rows, cols, attrs = rows[order], cols[order], attrs[order]
             onehot = np.zeros((len(attrs), 3), dtype=np.float32)
             if len(attrs):
                 onehot[np.arange(len(attrs)), attrs] = 1.0
-            return struct, rows.astype(np.int32), cols.astype(np.int32), \
-                onehot
+            return struct, rows, cols, onehot
         return struct, np.zeros(0, np.int32), np.zeros(0, np.int32), \
             np.zeros((0, 3), np.float32)
 
@@ -355,10 +374,14 @@ class PointCloudDataset:
     def __getitem__(self, item: int) -> GraphSample:
         label = self._label_for(item)
         lig_fname, rec_fname = self._paths_for(item)
-        if not Path(lig_fname).is_file():
-            raise FileNotFoundError(f'{lig_fname} does not exist.')
-        if not Path(rec_fname).is_file():
-            raise FileNotFoundError(f'{rec_fname} does not exist.')
+        # Existence check once per file, not once per epoch: the two
+        # stat() calls per item were measurable at cached-epoch speeds.
+        for f in (lig_fname, rec_fname):
+            fstr = str(f)
+            if fstr not in self._seen_files:
+                if not Path(f).is_file():
+                    raise FileNotFoundError(f'{f} does not exist.')
+                self._seen_files.add(fstr)
 
         # Augmented actives sit past the pre-augmentation length and get a
         # fresh ligand rotation + decoy label each epoch (ref :259-269).
@@ -371,7 +394,9 @@ class PointCloudDataset:
 
         # Entity dropout: drop receptor or ligand, force label 0 (ref
         # :293-300). Requires regenerating edges on the remaining entity.
-        if self.p_remove_entity > 0 and self.rng.rand() < self.p_remove_entity:
+        dropped_entity = (self.p_remove_entity > 0
+                          and self.rng.rand() < self.p_remove_entity)
+        if dropped_entity:
             from pointvs_tpu.data.fast_structs import subset
             keep_bp = 0 if self.rng.rand() < 0.5 else 1
             struct = subset(struct, struct['bp'] == keep_bp)
@@ -379,12 +404,28 @@ class PointCloudDataset:
             label = (np.float32(0) if np.ndim(label) == 0
                      else np.zeros(3, dtype=np.float32))
 
-        coords = np.stack([struct['x'], struct['y'], struct['z']], axis=1)
+        # Featurisation is deterministic per (struct) — cache the derived
+        # coords/feats alongside the boxed graph so hot epochs only pay
+        # for the per-epoch rotation.
+        feat_key = (None if (aug_angle or dropped_entity
+                             or self._mem_cache is None)
+                    else (str(lig_fname), str(rec_fname), 'feats'))
+        cached = (self._mem_cache.get(feat_key)
+                  if feat_key is not None else None)
+        if cached is not None:
+            coords, feats = cached
+        else:
+            coords = np.stack([struct['x'], struct['y'], struct['z']],
+                              axis=1).astype(np.float32)
+            feats = make_bit_vector(
+                struct['types'], self.n_features,
+                self.compact).astype(np.float32)
+            if feat_key is not None and self._mem_cache_budget > 0:
+                self._mem_cache[feat_key] = (coords, feats)
+                self._mem_cache_budget -= coords.nbytes + feats.nbytes
         if self.rot:
-            coords = uniform_random_rotation(coords, rng=self.rng)
-
-        feats = make_bit_vector(
-            struct['types'], self.n_features, self.compact)
+            coords = uniform_random_rotation(
+                coords, rng=self.rng).astype(np.float32)
 
         d_e, rmsd = 0.0, 0.0
         if self.include_strain_info and item < len(self.dEs):
@@ -392,8 +433,9 @@ class PointCloudDataset:
             rmsd = self.rmsds[item] or 0.0
 
         return GraphSample(
-            node_feats=feats.astype(np.float32),
-            coords=coords.astype(np.float32),
+            node_feats=feats,
+            coords=(coords if self.rot
+                    else coords.astype(np.float32, copy=False)),
             senders=np.asarray(rows, dtype=np.int32),
             receivers=np.asarray(cols, dtype=np.int32),
             edge_attr=np.asarray(attrs, dtype=np.float32),

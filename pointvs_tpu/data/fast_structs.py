@@ -18,11 +18,13 @@ KEYS = ('x', 'y', 'z', 'atomic_number', 'types', 'bp')
 Struct = Dict[str, np.ndarray]
 
 
-@lru_cache(maxsize=256)
+@lru_cache(maxsize=4096)
 def read_struct(path_str: str) -> Struct:
     """Parquet -> dict of numpy columns (no pandas materialisation).
-    Cached: receptors are shared across a whole screen. Treat as
-    immutable — copy before mutating."""
+    Cached (4096 entries ~ a full training set of small ligand
+    files): receptors are shared across a whole screen and ligands
+    re-read every epoch otherwise. Treat as immutable — copy before
+    mutating."""
     import pyarrow.parquet as pq
     table = pq.read_table(path_str, columns=list(KEYS))
     return {k: table.column(k).to_numpy() for k in KEYS}
@@ -42,6 +44,25 @@ def concat_structs_np(rec: Struct, lig: Struct, n_features: int,
 
 def subset(struct: Struct, mask_or_idx) -> Struct:
     return {k: v[mask_or_idx] for k, v in struct.items()}
+
+
+def rotate_struct(struct: Struct, min_angle_deg: float, rng) -> Struct:
+    """Fresh copy with coords re-rotated until the FIRST atom's position
+    vector moves by >= min_angle_deg (augmented-active semantics, ref
+    preprocessing concat_structs min_lig_rotation)."""
+    from pointvs_tpu.data.preprocessing import (angle_3d,
+                                                uniform_random_rotation)
+    min_rads = np.pi * min_angle_deg / 180
+    initial = np.stack([struct['x'], struct['y'], struct['z']], axis=1)
+    orig_vector = initial[0, :]
+    candidate = initial
+    while angle_3d(orig_vector, candidate[0, :]) < min_rads:
+        candidate = uniform_random_rotation(initial, rng=rng)
+    out = dict(struct)
+    out['x'] = np.ascontiguousarray(candidate[:, 0])
+    out['y'] = np.ascontiguousarray(candidate[:, 1])
+    out['z'] = np.ascontiguousarray(candidate[:, 2])
+    return out
 
 
 def box_np(struct: Struct, radius: float) -> Struct:
