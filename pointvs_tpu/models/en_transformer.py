@@ -118,6 +118,18 @@ class EnTransformerLayer(nn.Module):
         return h, coord, aux
 
 
+class _TfScanBody(EnTransformerLayer):
+    """EnTransformerLayer with nn.scan's (carry, *xs) signature (the carry
+    is (h, coord); the rest broadcasts)."""
+
+    def __call__(self, carry, agg, edge_attr, edge_mask, capture_aux):
+        h, coord = carry
+        h, coord, aux = EnTransformerLayer.__call__(
+            self, h, coord, agg, edge_attr, edge_mask,
+            capture_aux=capture_aux)
+        return (h, coord), aux
+
+
 class EnTransformer(nn.Module):
     """Equivariant transformer over padded graph batches."""
     dim_input: int
@@ -132,13 +144,30 @@ class EnTransformer(nn.Module):
     # Mesh axis the edge arrays are sharded over (edge-parallel
     # 'graph sharding'); aggregations psum partial node sums over it.
     edge_shard_axis: 'str | None' = None
+    # nn.scan layer stacking with full unroll ([L, ...] param leaves; see
+    # SartorrasEGNN.scan_layers — 14x full-step win at 12 layers on v5e).
+    scan_layers: bool = False
 
     def setup(self):
         self.input_embed = TorchLinear(self.k, name='input_embed')
-        self.tf_layers = [EnTransformerLayer(
-            k=self.k, heads=self.heads, update_coords=self.update_coords,
-            tanh=self.tanh, name=f'tf_layer_{i}')
-            for i in range(self.num_layers)]
+        if self.scan_layers:
+            cls = nn.scan(
+                _TfScanBody, variable_axes={'params': 0},
+                split_rngs={'params': True, 'dropout': True},
+                length=self.num_layers,
+                in_axes=(nn.broadcast,) * 4,
+                out_axes=0, unroll=self.num_layers)
+            self.tf_scan = cls(
+                k=self.k, heads=self.heads,
+                update_coords=self.update_coords, tanh=self.tanh,
+                name='tf_scan')
+            self.tf_layers = ()
+        else:
+            self.tf_layers = [EnTransformerLayer(
+                k=self.k, heads=self.heads,
+                update_coords=self.update_coords,
+                tanh=self.tanh, name=f'tf_layer_{i}')
+                for i in range(self.num_layers)]
         acts = ('softplus',) if self.final_softplus else ('identity',)
         self.head = MLP(features=(self.dim_output,), acts=acts, name='head')
 
@@ -151,11 +180,20 @@ class EnTransformer(nn.Module):
                              num_nodes=h.shape[0],
                              axis_name=self.edge_shard_axis)
         aux_layers = []
-        for layer in self.tf_layers:
-            h, coord, aux = layer(h, coord, agg, batch.edge_attr,
-                                  batch.edge_mask, capture_aux=capture_aux)
+        if self.scan_layers:
+            (h, coord), aux_stack = self.tf_scan(
+                (h, coord), agg, batch.edge_attr, batch.edge_mask,
+                capture_aux)
             if capture_aux:
-                aux_layers.append(aux)
+                aux_layers = [jax.tree.map(lambda a, i=i: a[i], aux_stack)
+                              for i in range(self.num_layers)]
+        else:
+            for layer in self.tf_layers:
+                h, coord, aux = layer(h, coord, agg, batch.edge_attr,
+                                      batch.edge_mask,
+                                      capture_aux=capture_aux)
+                if capture_aux:
+                    aux_layers.append(aux)
         pooled = masked_graph_mean_pool(
             h, batch.graph_id, batch.num_graphs, batch.node_mask)
         out = self.head(pooled, train=train)

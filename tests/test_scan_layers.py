@@ -119,3 +119,33 @@ def test_scan_remat_composes():
         lambda pp: jnp.sum(m.apply(pp, batch)))(p)
     assert all(np.isfinite(np.asarray(l)).all()
                for l in jax.tree.leaves(out))
+
+
+@pytest.mark.parametrize('name,prefix,scanname', [
+    ('lucid', 'lucid_layer_', 'lucid_scan'),
+    ('en_transformer', 'tf_layer_', 'tf_scan'),
+])
+def test_scan_matches_unrolled_other_families(name, prefix, scanname):
+    batch = _batch()
+    L = 4
+    kw = dict(k=32, dim_input=12, dim_output=1, num_layers=L,
+              attention=True)
+    m_un = build_model(name, **kw)
+    m_sc = build_model(name, scan_layers=True, **kw)
+    p_un = m_un.init(jax.random.PRNGKey(0), batch)
+    shape = jax.eval_shape(m_sc.init, jax.random.PRNGKey(0), batch)
+    un = p_un['params']
+    flat, treedef = jtu.tree_flatten_with_path(shape['params'][scanname])
+    leaves = []
+    for path, _ in flat:
+        keys = [k.key for k in path]
+        leaves.append(jnp.asarray(np.stack([
+            np.asarray(jtu.tree_reduce(lambda a, b: a[b], keys,
+                                       un[f'{prefix}{i}']))
+            for i in range(L)])))
+    p_sc = {'params': {k: v for k, v in un.items()
+                       if not k.startswith(prefix)}}
+    p_sc['params'][scanname] = jtu.tree_unflatten(treedef, leaves)
+    o_un = np.asarray(m_un.apply(p_un, batch))
+    o_sc = np.asarray(m_sc.apply(p_sc, batch))
+    np.testing.assert_allclose(o_sc, o_un, atol=1e-6)
