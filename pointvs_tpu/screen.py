@@ -94,19 +94,29 @@ def screen(model_path, receptor, ligands, output='screen_results.csv',
         prune=cmd_args.get('prune', False),
         num_devices=trainer.num_devices)
 
-    # One bucket for the whole screen: peek the largest batch's totals and
-    # pin the loader's bucket grids to single values, so exactly ONE
-    # program compiles regardless of library size.
-    probe = [dl.dataset[i] for i in
-             range(max(0, len(dl.dataset) - batch_size), len(dl.dataset))]
+    # One bucket for the whole screen: measure EVERY batch's (node, edge)
+    # totals up front and pin the loader's grids to the maxima, so
+    # exactly one program compiles regardless of library size. This
+    # matters doubly on remote-compile backends: even a persistent-cache
+    # HIT costs ~25 s per distinct program (executable reload), so shape
+    # count, not compile count, is the wall-clock lever. The items are
+    # memory-cached by this pass, so the scoring loop below gets them
+    # for free.
     from pointvs_tpu.data.buckets import pick_bucket
-    n_fix = pick_bucket(max(1, sum(s.num_nodes for s in probe)),
-                        dl.node_buckets)
-    e_fix = pick_bucket(max(1, sum(s.num_edges for s in probe)),
-                        dl.edge_buckets)
+    per_dev = batch_size // max(1, trainer.num_devices)
+    sizes = [(dl.dataset[i].num_nodes, dl.dataset[i].num_edges)
+             for i in range(len(dl.dataset))]
+    max_n = max_e = 1
+    for lo in range(0, len(sizes), per_dev):
+        chunk = sizes[lo:lo + per_dev]
+        max_n = max(max_n, sum(s[0] for s in chunk))
+        max_e = max(max_e, sum(s[1] for s in chunk))
+    n_fix = pick_bucket(max_n, dl.node_buckets)
+    e_fix = pick_bucket(max_e, dl.edge_buckets)
     dl.node_buckets = [n_fix]
     dl.edge_buckets = [e_fix]
-    LOG.info(f'Screen bucket: {n_fix} nodes x {e_fix} edges')
+    LOG.info(f'Screen bucket: {n_fix} nodes x {e_fix} edges '
+             f'(max batch {max_n}/{max_e})')
 
     eval_fn = trainer._eval_step()
     rows = []
