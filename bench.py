@@ -1,17 +1,28 @@
 #!/usr/bin/env python3
 """Headline benchmark: EGNN pose-classification training throughput on
-small_chembl (the reference README example config: 3 layers, k=32, bs=32,
-default flags — ref README.md:54-66), measured on the default JAX backend
-(the real TPU chip under the driver).
+small_chembl with the reference's DEFAULT architecture flags (residual +
+normalize + tanh + graphnorm on — ref egnn_satorras.py:212-236 build_net
+defaults, the model the README example actually trains), measured on the
+default JAX backend (the real TPU chip under the driver).
 
 Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": "graphs/s", "vs_baseline": N}
 
 vs_baseline is relative to the reference's CPU throughput on the same
 config. The reference publishes no numbers (BASELINE.md), so the baseline
-is *measured*: a minimal torch-CPU EGNN with identical math (dynamic
-shapes, scatter aggregation — how the reference runs) is timed once and
-cached in BASELINE_MEASURED.json.
+is *measured*: the torch reimplementation of the reference math
+(pointvs_tpu/testing/torch_ref.py — dynamic shapes, index_add scatter,
+exactly how jscant/PointVS executes; forward-parity-pinned by
+tests/test_forward_parity.py) is timed once and cached in
+BASELINE_MEASURED.json.
+
+Extras in the same JSON line:
+- inference_poses_per_sec: eval-step throughput, same model;
+- train_graphs_per_sec_12layer_attention: author-scale architecture
+  family (12 layers, softmax attention);
+- end_to_end_graphs_per_sec: a REAL hot training epoch through the data
+  loader — host sampling + collation + H2D transfer + jitted step — so
+  loader regressions are visible, not just device capability.
 """
 from __future__ import annotations
 
@@ -29,11 +40,17 @@ TYPES_FILE = Path('/root/reference/data/small_chembl_test.types')
 
 N_GRAPHS = 32
 LAYERS, K, DIM_INPUT = 3, 32, 22   # README example: non-compact 11*2 feats
+# Reference build_net defaults (egnn_satorras.py:212-236): residual,
+# normalize, tanh, graphnorm all ON; attention OFF.
+DEFAULT_FLAGS = dict(residual=True, normalize=True, tanh=True,
+                     graphnorm=True, edge_attention=False)
+BASELINE_CONFIG = (f'EGNN {LAYERS} layers k={K} bs={N_GRAPHS} torch-cpu '
+                   f'reference-default flags (residual+normalize+tanh+'
+                   f'graphnorm), small_chembl subset')
 WARMUP_STEPS, TIMED_STEPS = 5, 30
 
 
-def load_samples():
-    """Preprocess N_GRAPHS complexes (disk-cached across runs)."""
+def make_dataset():
     from pointvs_tpu.data.dataset import PointCloudDataset
     lines = TYPES_FILE.read_text().splitlines()
     subset = ([l for l in lines if l.startswith('1')][:N_GRAPHS // 2]
@@ -41,14 +58,33 @@ def load_samples():
     subset_file = CACHE_DIR / 'subset.types'
     CACHE_DIR.mkdir(exist_ok=True)
     subset_file.write_text('\n'.join(subset) + '\n')
-    ds = PointCloudDataset(
+    return PointCloudDataset(
         DATA_ROOT, radius=10, polar_hydrogens=False, compact=False,
         rot=False, types_fname=subset_file, edge_radius=4.0,
         model_task='classification', cache_dir=CACHE_DIR)
+
+
+def load_samples(ds):
+    """Preprocess N_GRAPHS complexes (disk-cached across runs)."""
     return [ds[i] for i in range(len(ds))]
 
 
-def bench_tpu(samples) -> float:
+def _timed_tput(step_fn, state, n_items, block):
+    """Best of 3 timed windows (the shared remote chip shows large
+    run-to-run interference; peak is the honest device capability)."""
+    import jax
+    best = 0.0
+    for _ in range(3):
+        start = time.perf_counter()
+        for _ in range(TIMED_STEPS):
+            state = step_fn(state)
+        jax.block_until_ready(block(state))
+        best = max(best, n_items * TIMED_STEPS
+                   / (time.perf_counter() - start))
+    return best, state
+
+
+def bench_tpu(samples, ds):
     """Our framework: jitted SPMD train step on the default backend."""
     import jax
     from pointvs_tpu.compile_cache import \
@@ -58,9 +94,10 @@ def bench_tpu(samples) -> float:
     from pointvs_tpu.data.buckets import (
         pad_graphs_to_batch, pick_bucket, stack_device_batches,
         DEFAULT_NODE_BUCKETS, DEFAULT_EDGE_BUCKETS)
+    from pointvs_tpu.data.loader import GraphDataLoader
     from pointvs_tpu.models import build_model
     from pointvs_tpu.parallel.mesh import get_mesh, replicate, shard_batch
-    from pointvs_tpu.parallel.steps import make_train_step
+    from pointvs_tpu.parallel.steps import make_train_step, make_eval_step
     from pointvs_tpu.training.optimisers import build_optimiser
 
     total_nodes = sum(s.num_nodes for s in samples)
@@ -73,9 +110,7 @@ def bench_tpu(samples) -> float:
 
     model = build_model(
         'egnn', dim_input=DIM_INPUT, k=K, dim_output=1,
-        scan_layers=True, num_layers=LAYERS,
-        edge_attention=False, normalize=False, tanh=False, graphnorm=False,
-        residual=False)
+        scan_layers=True, num_layers=LAYERS, **DEFAULT_FLAGS)
     # jit the init: besides being minutes faster over the remote tunnel,
     # eagerly-initialised params carry device layouts that permanently
     # degrade every later step (measured 55 ms vs 0.4 ms per step).
@@ -90,42 +125,59 @@ def bench_tpu(samples) -> float:
     lr = jnp.float32(2e-3)
     rng = jax.random.PRNGKey(1)
 
-    def timed_tput(step_fn, state):
-        """Best of 3 timed windows (the shared remote chip shows large
-        run-to-run interference; peak is the honest device capability)."""
-        best = 0.0
-        for _ in range(3):
-            start = time.perf_counter()
-            for _ in range(TIMED_STEPS):
-                state = step_fn(state)
-            jax.block_until_ready(state[-1])
-            best = max(best, len(samples) * TIMED_STEPS
-                       / (time.perf_counter() - start))
-        return best, state
-
     for _ in range(WARMUP_STEPS):
         params, opt_state, loss = step(params, opt_state, dev_batch, lr, rng)
     jax.block_until_ready(loss)
-    train_tput, (params, opt_state, _) = timed_tput(
+    train_tput, (params, opt_state, _) = _timed_tput(
         lambda s: step(s[0], s[1], dev_batch, lr, rng),
-        (params, opt_state, loss))
+        (params, opt_state, loss), len(samples), lambda s: s[-1])
+
+    # --- end-to-end: a real hot epoch through the loader (host sampling +
+    # collation + H2D + step). Buckets pinned to one compiled shape from
+    # the sampled compositions (weighted sampling with replacement varies
+    # per-epoch totals; a margin keeps every epoch in the same bucket).
+    probe = GraphDataLoader(ds, batch_size=N_GRAPHS, mode='train',
+                            num_devices=1, prefetch=0, seed=7)
+    max_n = max_e = 0
+    for _ in range(3):
+        for idx_chunk in np.array_split(probe._epoch_indices(), 1):
+            szs = [(ds[int(i)].num_nodes, ds[int(i)].num_edges)
+                   for i in idx_chunk]
+            max_n = max(max_n, sum(s[0] for s in szs))
+            max_e = max(max_e, sum(s[1] for s in szs))
+    n_fix = int(np.ceil(max_n * 1.25 / 256) * 256)
+    e_fix = int(np.ceil(max_e * 1.25 / 256) * 256)
+    loader = GraphDataLoader(ds, batch_size=N_GRAPHS, mode='train',
+                             num_devices=1, prefetch=2, seed=7,
+                             node_buckets=(n_fix,), edge_buckets=(e_fix,))
+
+    def one_epoch(params, opt_state):
+        n_seen = 0
+        for b, _meta in loader:
+            params, opt_state, loss = step(
+                params, opt_state, shard_batch(b, mesh), lr, rng)
+            n_seen += len(_meta.lig_fnames)
+        jax.block_until_ready(loss)
+        return params, opt_state, n_seen
+
+    params, opt_state, _ = one_epoch(params, opt_state)  # warm (compile)
+    e2e_tput = 0.0
+    for _ in range(3):
+        start = time.perf_counter()
+        params, opt_state, n_seen = one_epoch(params, opt_state)
+        e2e_tput = max(e2e_tput,
+                       n_seen / (time.perf_counter() - start))
 
     # Secondary: inference throughput (poses scored/sec).
-    from pointvs_tpu.parallel.steps import make_eval_step
     eval_step = make_eval_step(model, 'classification', mesh)
     logits = eval_step(params, dev_batch)
     jax.block_until_ready(logits)
-    infer_tput = 0.0
-    for _ in range(3):
-        start = time.perf_counter()
-        for _ in range(TIMED_STEPS):
-            logits = eval_step(params, dev_batch)
-        jax.block_until_ready(logits)
-        infer_tput = max(infer_tput, len(samples) * TIMED_STEPS
-                         / (time.perf_counter() - start))
+    infer_tput, _ = _timed_tput(
+        lambda s: eval_step(params, dev_batch), logits,
+        len(samples), lambda s: s)
 
-    # Secondary: production-scale config (12 layers, softmax attention,
-    # graphnorm — the author-scale architecture family).
+    # Secondary: production-scale config (12 layers, softmax attention —
+    # the author-scale architecture family).
     deep = build_model(
         'egnn', dim_input=DIM_INPUT, k=K, dim_output=1,
         scan_layers=True, num_layers=12,
@@ -139,89 +191,33 @@ def bench_tpu(samples) -> float:
     for _ in range(WARMUP_STEPS):
         dparams, dopt, dloss = dstep(dparams, dopt, dev_batch, lr, rng)
     jax.block_until_ready(dloss)
-    deep_tput, _ = timed_tput(
+    deep_tput, _ = _timed_tput(
         lambda s: dstep(s[0], s[1], dev_batch, lr, rng),
-        (dparams, dopt, dloss))
-    return train_tput, infer_tput, deep_tput
+        (dparams, dopt, dloss), len(samples), lambda s: s[-1])
+    return train_tput, infer_tput, deep_tput, e2e_tput
 
 
 def bench_torch_cpu(samples) -> float:
-    """Reference-style baseline: same EGNN math in torch on CPU with
-    dynamic shapes and scatter aggregation (how jscant/PointVS executes).
+    """Reference-math baseline (same default flags) in torch on CPU with
+    dynamic shapes and scatter aggregation — how jscant/PointVS executes.
     NOT part of the framework — exists purely to measure the baseline."""
     import torch
     from torch import nn
+    from pointvs_tpu.testing.torch_ref import (
+        RefEGNN, samples_to_torch_batch)
     torch.manual_seed(0)
 
-    class RefLayer(nn.Module):
-        def __init__(self, k):
-            super().__init__()
-            self.edge_mlp = nn.Sequential(
-                nn.Linear(2 * k + 1 + 3, k), nn.SiLU(),
-                nn.Linear(k, k), nn.SiLU())
-            self.node_mlp = nn.Sequential(
-                nn.Linear(2 * k, k), nn.SiLU(), nn.Linear(k, k))
-            self.coord_mlp = nn.Sequential(
-                nn.Linear(k, k), nn.SiLU(), nn.Linear(k, 1, bias=False))
-
-        def forward(self, h, coord, rows, cols, eattr):
-            diff = coord[rows] - coord[cols]
-            radial = (diff ** 2).sum(1, keepdim=True)
-            m = self.edge_mlp(torch.cat([h[rows], h[cols], radial, eattr], 1))
-            trans = diff * self.coord_mlp(m)
-            agg_c = torch.zeros_like(coord).index_add_(0, rows, trans)
-            cnt = torch.zeros(coord.size(0), 1).index_add_(
-                0, rows, torch.ones(len(rows), 1)).clamp(min=1)
-            coord = coord + agg_c / cnt
-            agg = torch.zeros_like(h).index_add_(0, rows, m)
-            h = self.node_mlp(torch.cat([h, agg], 1))
-            return h, coord
-
-    class RefNet(nn.Module):
-        def __init__(self):
-            super().__init__()
-            self.embed = nn.Linear(DIM_INPUT, K)
-            self.layers = nn.ModuleList([RefLayer(K) for _ in range(LAYERS)])
-            self.head = nn.Linear(K, 1)
-
-        def forward(self, feats, coords, rows, cols, eattr, graph_id, n_g):
-            h = self.embed(feats)
-            c = coords
-            for layer in self.layers:
-                h, c = layer(h, c, rows, cols, eattr)
-            pooled = torch.zeros(n_g, K).index_add_(0, graph_id, h)
-            counts = torch.zeros(n_g, 1).index_add_(
-                0, graph_id, torch.ones(h.size(0), 1))
-            return self.head(pooled / counts.clamp(min=1)).reshape(-1)
-
-    # Concatenate into one dynamic batch (pyg-style).
-    feats, coords, rows, cols, eattr, gid, ys = [], [], [], [], [], [], []
-    off = 0
-    for i, s in enumerate(samples):
-        feats.append(s.node_feats)
-        coords.append(s.coords)
-        rows.append(s.senders + off)
-        cols.append(s.receivers + off)
-        eattr.append(s.edge_attr)
-        gid.append(np.full(s.num_nodes, i))
-        ys.append(float(s.y))
-        off += s.num_nodes
-    feats = torch.tensor(np.concatenate(feats))
-    coords = torch.tensor(np.concatenate(coords))
-    rows = torch.tensor(np.concatenate(rows), dtype=torch.long)
-    cols = torch.tensor(np.concatenate(cols), dtype=torch.long)
-    eattr = torch.tensor(np.concatenate(eattr))
-    gid = torch.tensor(np.concatenate(gid), dtype=torch.long)
-    y = torch.tensor(ys)
-
-    net = RefNet()
+    net = RefEGNN(DIM_INPUT, K, 1, LAYERS, **DEFAULT_FLAGS)
+    feats, coords, rows, cols, eattr, gid, y = samples_to_torch_batch(
+        samples)
     opt = torch.optim.Adam(net.parameters(), lr=2e-3, weight_decay=1e-4)
     bce = nn.BCEWithLogitsLoss()
 
     def one_step():
         opt.zero_grad()
-        loss = bce(net(feats, coords, rows, cols, eattr, gid, len(samples)),
-                   y)
+        out = net(feats, coords, rows, cols, eattr, gid,
+                  len(samples)).reshape(-1)
+        loss = bce(out, y)
         loss.backward()
         nn.utils.clip_grad_value_(net.parameters(), 1.0)
         opt.step()
@@ -237,28 +233,34 @@ def bench_torch_cpu(samples) -> float:
 
 def get_baseline(samples) -> float:
     if BASELINE_FILE.exists():
-        return json.loads(BASELINE_FILE.read_text())['train_graphs_per_sec']
+        cached = json.loads(BASELINE_FILE.read_text())
+        if cached.get('config') == BASELINE_CONFIG:
+            return cached['train_graphs_per_sec']
     value = bench_torch_cpu(samples)
     BASELINE_FILE.write_text(json.dumps({
         'train_graphs_per_sec': value,
-        'config': f'EGNN {LAYERS} layers k={K} bs={N_GRAPHS} torch-cpu '
-                  f'README-example math, small_chembl subset',
+        'config': BASELINE_CONFIG,
         'hardware': 'container CPU (1 core)'}, indent=2) + '\n')
     return value
 
 
 def main():
-    samples = load_samples()
+    ds = make_dataset()
+    samples = load_samples(ds)
     baseline = get_baseline(samples)
-    value, infer_tput, deep_tput = bench_tpu(samples)
+    value, infer_tput, deep_tput, e2e_tput = bench_tpu(samples, ds)
     print(json.dumps({
-        'metric': 'train_graphs_per_sec (EGNN pose, small_chembl)',
+        'metric': 'train_graphs_per_sec (EGNN pose, default flags, '
+                  'small_chembl)',
         'value': round(value, 2),
         'unit': 'graphs/s',
         'vs_baseline': round(value / baseline, 2),
         'extra': {
             'inference_poses_per_sec': round(infer_tput, 2),
             'train_graphs_per_sec_12layer_attention': round(deep_tput, 2),
+            'end_to_end_graphs_per_sec': round(e2e_tput, 2),
+            'end_to_end_vs_baseline': round(e2e_tput / baseline, 2),
+            'torch_cpu_baseline_graphs_per_sec': round(baseline, 2),
         },
     }))
 
