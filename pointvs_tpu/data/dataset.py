@@ -128,6 +128,7 @@ class PointCloudDataset:
         # Files whose existence has already been verified (stat once per
         # file, not twice per item per epoch).
         self._seen_files: set = set()
+        self._path_cache: dict = {}
 
         self.use_types = types_fname is not None
         self.sample_weights = None
@@ -265,6 +266,16 @@ class PointCloudDataset:
                 f'{rec_name}.{self.fname_suffix}).')
         return lig_fname, matches[0]
 
+    def _paths_for_cached(self, item: int):
+        """(lig_path, rec_path, lig_str, rec_str), memoised per item —
+        pathlib join + str() per epoch measured ~20% of the hot path."""
+        hit = self._path_cache.get(item)
+        if hit is None:
+            lig, rec = self._paths_for(item)
+            hit = (lig, rec, str(lig), str(rec))
+            self._path_cache[item] = hit
+        return hit
+
     def _cache_key(self, lig_fname, rec_fname) -> Optional[Path]:
         if self.cache_dir is None:
             return None
@@ -332,16 +343,24 @@ class PointCloudDataset:
             onehot = np.zeros((len(attrs), 3), dtype=np.float32)
             if len(attrs):
                 onehot[np.arange(len(attrs)), attrs] = 1.0
-            return struct, rows, cols, onehot
-        return struct, np.zeros(0, np.int32), np.zeros(0, np.int32), \
-            np.zeros((0, 3), np.float32)
+            # Receiver-sort permutation, also cached across epochs: per-
+            # sample perms concatenate into the batch-level receiver sort
+            # (buckets.pad_graphs_to_batch), replacing a per-batch
+            # counting argsort of the full edge array.
+            rperm = np.argsort(cols, kind='stable').astype(np.int32)
+            return struct, rows, cols, onehot, rperm
+        return (struct, np.zeros(0, np.int32), np.zeros(0, np.int32),
+                np.zeros((0, 3), np.float32), np.zeros(0, np.int32))
 
-    def _load_boxed_graph(self, lig_fname, rec_fname, aug_angle: float):
+    def _load_boxed_graph(self, lig_fname, rec_fname, aug_angle: float,
+                          mem_key=None):
         """Boxed struct dict + edges, through the caches if present."""
         from pointvs_tpu.data.fast_structs import KEYS, subset
-        mem_key = None
-        if self._mem_cache is not None and not aug_angle:
+        if self._mem_cache is None or aug_angle:
+            mem_key = None
+        elif mem_key is None:
             mem_key = (str(lig_fname), str(rec_fname))
+        if mem_key is not None:
             hit = self._mem_cache.get(mem_key)
             if hit is not None:
                 return hit
@@ -350,36 +369,48 @@ class PointCloudDataset:
         if cache_path is not None and cache_path.exists():
             blob = np.load(cache_path, allow_pickle=False)
             struct = {k: blob[k] for k in KEYS}
-            return struct, blob['rows'], blob['cols'], blob['attrs']
+            rperm = (blob['rperm'] if 'rperm' in blob.files else
+                     np.argsort(blob['cols'],
+                                kind='stable').astype(np.int32))
+            item = (struct, blob['rows'], blob['cols'], blob['attrs'],
+                    rperm)
+            # Promote disk hits into the memory cache too — otherwise a
+            # populated cache_dir forces an npz (zipfile) read per item
+            # per epoch, which measured 3x the whole rest of the hot path.
+            self._mem_cache_put(mem_key, item)
+            return item
 
         struct = self._build_struct(lig_fname, rec_fname, aug_angle)
         if self.bp is not None:
             struct = subset(struct, struct['bp'] == self.bp)
-        struct, rows, cols, attrs = self._edges_for(struct)
+        struct, rows, cols, attrs, rperm = self._edges_for(struct)
 
         if cache_path is not None:
             # Uncompressed: DEFLATE cost ~50ms/item, 20x the recompute.
             tmp = cache_path.with_suffix('.tmp.npz')
-            np.savez(tmp, rows=rows, cols=cols, attrs=attrs,
+            np.savez(tmp, rows=rows, cols=cols, attrs=attrs, rperm=rperm,
                      **{k: struct[k] for k in KEYS})
             tmp.rename(cache_path)
-        if mem_key is not None and self._mem_cache_budget > 0:
-            size = (sum(v.nbytes for v in struct.values())
-                    + rows.nbytes + cols.nbytes + attrs.nbytes)
-            if size <= self._mem_cache_budget:
-                self._mem_cache[mem_key] = (struct, rows, cols, attrs)
-                self._mem_cache_budget -= size
-        return struct, rows, cols, attrs
+        self._mem_cache_put(mem_key, (struct, rows, cols, attrs, rperm))
+        return struct, rows, cols, attrs, rperm
+
+    def _mem_cache_put(self, mem_key, item):
+        if mem_key is None or self._mem_cache_budget <= 0:
+            return
+        size = sum(v.nbytes for v in item[0].values()) \
+            + sum(a.nbytes for a in item[1:])
+        if size <= self._mem_cache_budget:
+            self._mem_cache[mem_key] = item
+            self._mem_cache_budget -= size
 
     def __getitem__(self, item: int) -> GraphSample:
         label = self._label_for(item)
-        lig_fname, rec_fname = self._paths_for(item)
+        lig_fname, rec_fname, lig_str, rec_str = self._paths_for_cached(item)
         # Existence check once per file, not once per epoch: the two
         # stat() calls per item were measurable at cached-epoch speeds.
-        for f in (lig_fname, rec_fname):
-            fstr = str(f)
+        for f, fstr in ((lig_fname, lig_str), (rec_fname, rec_str)):
             if fstr not in self._seen_files:
-                if not Path(f).is_file():
+                if not f.is_file():
                     raise FileNotFoundError(f'{f} does not exist.')
                 self._seen_files.add(fstr)
 
@@ -389,8 +420,8 @@ class PointCloudDataset:
                         and item >= self.pre_aug_ds_len)
         aug_angle = self.augmented_active_min_angle if is_augmented else 0
 
-        struct, rows, cols, attrs = self._load_boxed_graph(
-            lig_fname, rec_fname, aug_angle)
+        struct, rows, cols, attrs, rperm = self._load_boxed_graph(
+            lig_fname, rec_fname, aug_angle, mem_key=(lig_str, rec_str))
 
         # Entity dropout: drop receptor or ligand, force label 0 (ref
         # :293-300). Requires regenerating edges on the remaining entity.
@@ -400,7 +431,7 @@ class PointCloudDataset:
             from pointvs_tpu.data.fast_structs import subset
             keep_bp = 0 if self.rng.rand() < 0.5 else 1
             struct = subset(struct, struct['bp'] == keep_bp)
-            struct, rows, cols, attrs = self._edges_for(struct)
+            struct, rows, cols, attrs, rperm = self._edges_for(struct)
             label = (np.float32(0) if np.ndim(label) == 0
                      else np.zeros(3, dtype=np.float32))
 
@@ -409,7 +440,7 @@ class PointCloudDataset:
         # for the per-epoch rotation.
         feat_key = (None if (aug_angle or dropped_entity
                              or self._mem_cache is None)
-                    else (str(lig_fname), str(rec_fname), 'feats'))
+                    else (lig_str, rec_str, 'feats'))
         cached = (self._mem_cache.get(feat_key)
                   if feat_key is not None else None)
         if cached is not None:
@@ -440,8 +471,9 @@ class PointCloudDataset:
             receivers=np.asarray(cols, dtype=np.int32),
             edge_attr=np.asarray(attrs, dtype=np.float32),
             y=label,
-            lig_fname=str(lig_fname), rec_fname=str(rec_fname),
-            dE=float(d_e), rmsd=float(rmsd))
+            lig_fname=lig_str, rec_fname=rec_str,
+            dE=float(d_e), rmsd=float(rmsd),
+            recv_perm=np.asarray(rperm, dtype=np.int32))
 
 
 class SynthPharmDataset(PointCloudDataset):

@@ -38,29 +38,44 @@ def generate_random_z_axis_rotation(rng=None) -> np.ndarray:
     return rot
 
 
+def random_rotation_matrix(rng=None) -> np.ndarray:
+    """Rotation matrix drawn uniformly over SO(3).
+
+    Algorithm: "Fast Random Rotation Matrices" (James Avro, 1992) — a
+    random z-rotation reflected through a random Householder plane
+    (ref preprocessing.py:30-53). Built with scalar arithmetic: this runs
+    once per item per epoch on a 1-core host, and the array-op version
+    (eye/outer/two 3x3 matmuls) measured ~60% of the whole hot item path.
+    """
+    rng = np.random if rng is None else rng
+    # Draw order (x2, x3, theta) preserved from the pre-optimisation
+    # version so seeded streams produce identical rotations.
+    x2 = 2 * np.pi * rng.rand()
+    x3 = rng.rand()
+    theta = 2 * np.pi * rng.rand()
+    ct, st = np.cos(theta), np.sin(theta)
+    s3 = np.sqrt(x3)
+    vx, vy, vz = np.cos(x2) * s3, np.sin(x2) * s3, np.sqrt(1 - x3)
+    # householder = I - 2 v v^T ; m = -(householder @ rot_z)
+    h00, h01, h02 = 1 - 2 * vx * vx, -2 * vx * vy, -2 * vx * vz
+    h11, h12 = 1 - 2 * vy * vy, -2 * vy * vz
+    h22 = 1 - 2 * vz * vz
+    return -np.array([
+        [h00 * ct + h01 * st, -h00 * st + h01 * ct, h02],
+        [h01 * ct + h11 * st, -h01 * st + h11 * ct, h12],
+        [h02 * ct + h12 * st, -h02 * st + h12 * ct, h22],
+    ])
+
+
 def uniform_random_rotation(x: np.ndarray, rng=None) -> np.ndarray:
     """Rotate a point cloud by a rotation drawn uniformly over the sphere.
 
-    Algorithm: "Fast Random Rotation Matrices" (James Avro, 1992). The
-    rotation is applied about the centroid of ``x`` (ref preprocessing.py:30-53
-    — note the reference translates the centroid through the rotation too, so
-    the output is ``(x - mean) @ M + mean @ M``; we reproduce that exactly).
+    The reference applies the rotation about the centroid but translates
+    the centroid through the rotation too (ref preprocessing.py:30-53):
+    ``(x - mean) @ M + mean @ M``, which is algebraically just ``x @ M``.
     """
-    rng = np.random if rng is None else rng
-    x2 = 2 * np.pi * rng.rand()
-    x3 = rng.rand()
-
-    rot_z = generate_random_z_axis_rotation(rng)
-    v = np.array([
-        np.cos(x2) * np.sqrt(x3),
-        np.sin(x2) * np.sqrt(x3),
-        np.sqrt(1 - x3),
-    ])
-    householder = np.eye(3) - 2 * np.outer(v, v)
-    m = -(householder @ rot_z)
-    x = np.asarray(x).reshape((-1, 3))
-    mean_coord = np.mean(x, axis=0)
-    return ((x - mean_coord) @ m) + mean_coord @ m
+    m = random_rotation_matrix(rng)
+    return np.asarray(x).reshape((-1, 3)) @ m
 
 
 def angle_3d(v1: np.ndarray, v2: np.ndarray) -> float:

@@ -182,6 +182,18 @@ int64_t pvs_max_window_load(const int32_t* ids, int64_t n, int32_t id_bound,
     std::vector<int64_t> loads(
         static_cast<size_t>(id_bound) / window + 2, 0);
     int64_t max_load = 0;
+    if (window > 0 && (window & (window - 1)) == 0) {
+        // Power-of-two window: shift instead of a per-element division
+        // (the division measured ~4x the loop body on this host).
+        int shift = __builtin_ctz(static_cast<unsigned>(window));
+        for (int64_t i = 0; i < n; ++i) {
+            if (ids[i] < id_bound) {
+                int64_t load = ++loads[ids[i] >> shift];
+                if (load > max_load) max_load = load;
+            }
+        }
+        return max_load;
+    }
     for (int64_t i = 0; i < n; ++i) {
         if (ids[i] < id_bound) {
             int64_t load = ++loads[ids[i] / window];
