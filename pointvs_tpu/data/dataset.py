@@ -49,6 +49,19 @@ from pointvs_tpu.utils import expand_path, shorten_home
 
 LOG = get_logger('PointVS-TPU')
 
+
+def _stable_argsort_ids(ids: np.ndarray, max_id: int) -> np.ndarray:
+    """Stable argsort for bounded non-negative int ids: native counting
+    sort (O(E+N)) when available, numpy otherwise."""
+    try:
+        from pointvs_tpu.native.build import native_counting_argsort
+        order = native_counting_argsort(ids, max_id)
+        if order is not None:
+            return order
+    except Exception:
+        pass
+    return np.argsort(ids, kind='stable').astype(np.int32)
+
 # Atomic-number featurisation (ref data_loaders.py:194-216): recognised
 # organic elements, then grouped halogens / alkali / alkaline-earth /
 # transition metals, then (optionally) polar hydrogen, then "other".
@@ -284,7 +297,7 @@ class PointCloudDataset:
                   self.polar_hydrogens, self.use_atomic_numbers,
                   self.extended_atom_types, self.bp)
         digest = hashlib.sha1(repr(params).encode()).hexdigest()[:24]
-        return self.cache_dir / f'{digest}.npz'
+        return self.cache_dir / f'{digest}.bin'
 
     def _build_struct(self, lig_fname, rec_fname, aug_angle: float):
         """parquets -> concatenated, boxed, element-filtered struct dict."""
@@ -333,12 +346,13 @@ class PointCloudDataset:
                 struct, edge_radius, intra_radius, prune=self.prune)
             rows = rows.astype(np.int32)
             cols = cols.astype(np.int32)
+            n_nodes = len(struct['bp'])
             # Sort by sender once HERE (cached across epochs): the batch
             # collator requires destination-sorted edges, and a sorted
             # concatenation of sorted lists lets it skip four full-batch
             # gathers per batch.
             if len(rows) and not np.all(rows[1:] >= rows[:-1]):
-                order = np.argsort(rows, kind='stable')
+                order = _stable_argsort_ids(rows, n_nodes)
                 rows, cols, attrs = rows[order], cols[order], attrs[order]
             onehot = np.zeros((len(attrs), 3), dtype=np.float32)
             if len(attrs):
@@ -347,7 +361,7 @@ class PointCloudDataset:
             # sample perms concatenate into the batch-level receiver sort
             # (buckets.pad_graphs_to_batch), replacing a per-batch
             # counting argsort of the full edge array.
-            rperm = np.argsort(cols, kind='stable').astype(np.int32)
+            rperm = _stable_argsort_ids(cols, n_nodes)
             return struct, rows, cols, onehot, rperm
         return (struct, np.zeros(0, np.int32), np.zeros(0, np.int32),
                 np.zeros((0, 3), np.float32), np.zeros(0, np.int32))
@@ -366,19 +380,14 @@ class PointCloudDataset:
                 return hit
         cache_path = (None if aug_angle else
                       self._cache_key(lig_fname, rec_fname))
-        if cache_path is not None and cache_path.exists():
-            blob = np.load(cache_path, allow_pickle=False)
-            struct = {k: blob[k] for k in KEYS}
-            rperm = (blob['rperm'] if 'rperm' in blob.files else
-                     np.argsort(blob['cols'],
-                                kind='stable').astype(np.int32))
-            item = (struct, blob['rows'], blob['cols'], blob['attrs'],
-                    rperm)
-            # Promote disk hits into the memory cache too — otherwise a
-            # populated cache_dir forces an npz (zipfile) read per item
-            # per epoch, which measured 3x the whole rest of the hot path.
-            self._mem_cache_put(mem_key, item)
-            return item
+        if cache_path is not None:
+            item = self._read_disk_cache(cache_path)
+            if item is not None:
+                # Promote disk hits into the memory cache too — otherwise
+                # a populated cache_dir forces a blob read per item per
+                # epoch, which measured 3x the rest of the hot path.
+                self._mem_cache_put(mem_key, item)
+                return item
 
         struct = self._build_struct(lig_fname, rec_fname, aug_angle)
         if self.bp is not None:
@@ -386,13 +395,32 @@ class PointCloudDataset:
         struct, rows, cols, attrs, rperm = self._edges_for(struct)
 
         if cache_path is not None:
-            # Uncompressed: DEFLATE cost ~50ms/item, 20x the recompute.
-            tmp = cache_path.with_suffix('.tmp.npz')
-            np.savez(tmp, rows=rows, cols=cols, attrs=attrs, rperm=rperm,
-                     **{k: struct[k] for k in KEYS})
+            from pointvs_tpu.data.blob import save_blob
+            tmp = cache_path.with_suffix('.tmp.bin')
+            save_blob(tmp, {'rows': rows, 'cols': cols, 'attrs': attrs,
+                            'rperm': rperm,
+                            **{k: struct[k] for k in KEYS}})
             tmp.rename(cache_path)
         self._mem_cache_put(mem_key, (struct, rows, cols, attrs, rperm))
         return struct, rows, cols, attrs, rperm
+
+    @staticmethod
+    def _read_disk_cache(cache_path):
+        from pointvs_tpu.data.blob import load_blob
+        from pointvs_tpu.data.fast_structs import KEYS
+        if cache_path.exists():
+            blob = load_blob(cache_path)
+        else:
+            # Legacy npz caches from before the flat-blob format.
+            legacy = cache_path.with_suffix('.npz')
+            if not legacy.exists():
+                return None
+            with np.load(legacy, allow_pickle=False) as z:
+                blob = {k: z[k] for k in z.files}
+        struct = {k: blob[k] for k in KEYS}
+        rperm = (blob['rperm'] if 'rperm' in blob else
+                 np.argsort(blob['cols'], kind='stable').astype(np.int32))
+        return struct, blob['rows'], blob['cols'], blob['attrs'], rperm
 
     def _mem_cache_put(self, mem_key, item):
         if mem_key is None or self._mem_cache_budget <= 0:

@@ -26,7 +26,11 @@ def read_struct(path_str: str) -> Struct:
     re-read every epoch otherwise. Treat as immutable — copy before
     mutating."""
     import pyarrow.parquet as pq
-    table = pq.read_table(path_str, columns=list(KEYS))
+    # ParquetFile.read skips read_table's dataset-scanner machinery:
+    # 0.14 ms vs 0.70 ms per (tiny) file, and these reads dominate the
+    # true-cold item path.
+    table = pq.ParquetFile(path_str).read(columns=list(KEYS),
+                                          use_threads=False)
     return {k: table.column(k).to_numpy() for k in KEYS}
 
 

@@ -143,6 +143,12 @@ def native_max_window_load(ids: np.ndarray, id_bound: int,
         ctypes.c_int32(window)))
 
 
+# Adaptive capacity hint: items in one dataset have similar edge counts,
+# and an undersized first guess costs a full extra O(N^2) native pass per
+# item (measured: nearly every cold item paid it at the old 4096 start).
+_EDGE_CAP_HINT = [4096]
+
+
 def native_radius_edges(xyz: np.ndarray, bp: np.ndarray, inter_r: float,
                         intra_r: float, prune: bool):
     """(rows, cols, attrs, keep_mask) or None when unavailable."""
@@ -152,9 +158,8 @@ def native_radius_edges(xyz: np.ndarray, bp: np.ndarray, inter_r: float,
     xyz = np.ascontiguousarray(xyz, dtype=np.float64)
     bp = np.ascontiguousarray(bp, dtype=np.int32)
     n = len(bp)
-    cap = np.int64(64)
+    cap = max(_EDGE_CAP_HINT[0], 4096)
     while True:
-        cap = max(cap * 4, 4096)
         rows = np.empty(cap, dtype=np.int32)
         cols = np.empty(cap, dtype=np.int32)
         attrs = np.empty(cap, dtype=np.int32)
@@ -164,7 +169,10 @@ def native_radius_edges(xyz: np.ndarray, bp: np.ndarray, inter_r: float,
             ctypes.c_double(intra_r), int(prune), _iptr(rows), _iptr(cols),
             _iptr(attrs), ctypes.c_int64(cap), _bptr(keep))
         if count >= 0:
+            if 2 * count > _EDGE_CAP_HINT[0]:
+                _EDGE_CAP_HINT[0] = int(2 * count)
             return (rows[:count].copy(), cols[:count].copy(),
                     attrs[:count].copy(), keep.astype(bool))
         if cap > 1 << 26:  # 64M edges: give up, numpy path will also OOM
             return None
+        cap *= 4
