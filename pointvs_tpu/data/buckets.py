@@ -61,6 +61,41 @@ class GraphBatch(NamedTuple):
         return self.graph_mask.shape[0]
 
 
+class SiamesePair(NamedTuple):
+    """Two-tower batch: receptor-only and ligand-only graphs for the same
+    complexes, slot-aligned (ref point_vs/models/siamese.py:23-207 zips a
+    receptor loader and a ligand loader). Labels/masks live on the
+    receptor side, mirroring the reference's ``y_true = rec_graph.y``."""
+    rec: GraphBatch
+    lig: GraphBatch
+
+    @property
+    def y(self) -> np.ndarray:
+        return self.rec.y
+
+    @property
+    def graph_mask(self) -> np.ndarray:
+        return self.rec.graph_mask
+
+    @property
+    def num_graphs(self) -> int:
+        return self.rec.num_graphs
+
+
+class DenseBatch(NamedTuple):
+    """Zero-padded dense (p, v, m) batch for the vanilla family (ref
+    point_vs/preprocessing/data_loaders.py:638-675 get_collate_fn)."""
+    p: np.ndarray            # [B, N, 3] coords
+    v: np.ndarray            # [B, N, F] features
+    m: np.ndarray            # [B, N]    node mask
+    y: np.ndarray            # [B]       targets
+    graph_mask: np.ndarray   # [B]       1 = real graph
+
+    @property
+    def num_graphs(self) -> int:
+        return self.graph_mask.shape[0]
+
+
 @dataclass
 class GraphSample:
     """One preprocessed complex (host-side, pre-batching)."""
@@ -286,18 +321,19 @@ def _check_window_capacity(senders, receivers, n_pad: int, e_pad: int):
                 f'raise ops.sorted_segment capacity.')
 
 
-def stack_device_batches(batches: Sequence[GraphBatch]) -> GraphBatch:
+def stack_device_batches(batches):
     """Stack equal-shape per-device batches along a new leading axis.
 
     Used for data parallelism: the result's arrays have shape [D, ...] and
-    are fed to a ``shard_map``-ped train step over a ('dp',) mesh.
+    are fed to a ``shard_map``-ped train step over a ('dp',) mesh. Works
+    for any flat NamedTuple of arrays (GraphBatch, DenseBatch, ...).
     """
-    shapes = {tuple(b.node_feats.shape) + tuple(b.senders.shape)
-              for b in batches}
+    cls = type(batches[0])
+    shapes = {tuple(tuple(np.shape(a)) for a in b) for b in batches}
     if len(shapes) != 1:
         raise ValueError(f'device batches must share shapes, got {shapes}')
     if len(batches) == 1:
         # Zero-copy: a leading length-1 axis is a view, and np.stack's
         # full copy of ~6 MB of batch arrays was measurable per batch.
-        return GraphBatch(*[arr[None] for arr in batches[0]])
-    return GraphBatch(*[np.stack(arrs) for arrs in zip(*batches)])
+        return cls(*[np.asarray(arr)[None] for arr in batches[0]])
+    return cls(*[np.stack(arrs) for arrs in zip(*batches)])

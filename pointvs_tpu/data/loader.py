@@ -27,10 +27,16 @@ from pointvs_tpu.data.buckets import (
     DEFAULT_NODE_BUCKETS,
     GraphBatch,
     GraphSample,
+    SiamesePair,
+    bucket_sizes,
     pad_graphs_to_batch,
     pick_bucket,
     stack_device_batches,
 )
+
+# Dense (p, v, m) layout: nodes per GRAPH (not per batch) are bucketed; the
+# all-pairs dense model is O(B * N^2 * K) so the grid is finer-grained.
+DENSE_NODE_BUCKETS = bucket_sizes(64, 8192, ratio=1.3, multiple=64)
 from pointvs_tpu.data.dataset import PointCloudDataset, SynthPharmDataset
 from pointvs_tpu.logging import get_logger
 
@@ -56,7 +62,15 @@ class GraphDataLoader:
                  prefetch: int = 2, seed: int = 0,
                  node_buckets=DEFAULT_NODE_BUCKETS,
                  edge_buckets=DEFAULT_EDGE_BUCKETS,
-                 shard_index: int = 0, num_shards: int = 1):
+                 shard_index: int = 0, num_shards: int = 1,
+                 layout: str = 'graph', paired_dataset=None):
+        if layout not in ('graph', 'dense', 'pair'):
+            raise ValueError(f'unknown layout {layout!r}')
+        if layout == 'pair' and paired_dataset is None:
+            raise ValueError("layout='pair' needs paired_dataset (the "
+                             'ligand-side dataset)')
+        self.layout = layout
+        self.paired_dataset = paired_dataset
         if batch_size % num_devices:
             raise ValueError(
                 f'batch_size {batch_size} not divisible by num_devices '
@@ -111,6 +125,61 @@ class GraphDataLoader:
         if self.num_shards > 1:
             idx = idx[self.shard_index::self.num_shards]
         return idx
+
+    def _collate_dense(self, samples):
+        from pointvs_tpu.models.vanilla import dense_collate
+        meta = BatchMeta([s.lig_fname for s in samples],
+                         [s.rec_fname for s in samples])
+        per_dev = self.batch_size // self.num_devices
+        max_len = pick_bucket(max(s.num_nodes for s in samples),
+                              DENSE_NODE_BUCKETS)
+        if self.num_devices == 1:
+            batch = dense_collate(samples, max_len,
+                                  num_graphs=self.batch_size)
+            return stack_device_batches([batch]), meta
+        chunks = [samples[d * per_dev:(d + 1) * per_dev]
+                  for d in range(self.num_devices)]
+        batches = [dense_collate(c or samples[:1], max_len,
+                                 num_graphs=per_dev) for c in chunks]
+        for d, c in enumerate(chunks):
+            if not c:
+                batches[d] = batches[d]._replace(
+                    graph_mask=np.zeros_like(batches[d].graph_mask))
+        return stack_device_batches(batches), meta
+
+    def _collate_pair(self, rec_samples, lig_samples):
+        """Two slot-aligned GraphBatches (receptor / ligand towers)."""
+        meta = BatchMeta([s.lig_fname for s in rec_samples],
+                         [s.rec_fname for s in rec_samples])
+        per_dev = self.batch_size // self.num_devices
+
+        def side(samples):
+            if self.num_devices == 1:
+                return stack_device_batches([pad_graphs_to_batch(
+                    samples, num_graphs=self.batch_size,
+                    node_buckets=self.node_buckets,
+                    edge_buckets=self.edge_buckets)])
+            # Contiguous chunks (NOT size-balanced): rec/lig slots must
+            # stay aligned across the two sides.
+            chunks = [samples[d * per_dev:(d + 1) * per_dev]
+                      for d in range(self.num_devices)]
+            max_n = max(sum(s.num_nodes for s in c) for c in chunks if c)
+            max_e = max(sum(s.num_edges for s in c) for c in chunks if c)
+            n_pad = pick_bucket(max(max_n, 1), self.node_buckets)
+            e_pad = pick_bucket(max(max_e, 1), self.edge_buckets)
+            batches = []
+            for c in chunks:
+                is_dummy = not c
+                b = pad_graphs_to_batch(c or [_dummy_sample(samples[0])],
+                                        num_graphs=per_dev,
+                                        n_pad=n_pad, e_pad=e_pad)
+                if is_dummy:
+                    b = b._replace(graph_mask=np.zeros_like(b.graph_mask))
+                batches.append(b)
+            return stack_device_batches(batches)
+
+        return SiamesePair(rec=side(rec_samples),
+                           lig=side(lig_samples)), meta
 
     def _collate(self, samples: List[GraphSample]
                  ) -> Tuple[GraphBatch, BatchMeta]:
@@ -172,7 +241,13 @@ class GraphDataLoader:
             if len(chunk) < self.batch_size and self.drop_last:
                 return
             samples = [self.dataset[int(i)] for i in chunk]
-            yield self._collate(samples)
+            if self.layout == 'dense':
+                yield self._collate_dense(samples)
+            elif self.layout == 'pair':
+                lig = [self.paired_dataset[int(i)] for i in chunk]
+                yield self._collate_pair(samples, lig)
+            else:
+                yield self._collate(samples)
 
     def __iter__(self):
         if self._cacheable:
@@ -237,24 +312,36 @@ def get_data_loader(
         bp=None, p_noise: float = -1, num_devices: int = 1,
         prefetch: int = 2, seed: int = 0, cache_dir=None,
         shard_index: int = 0, num_shards: int = 1,
+        layout: str = 'graph',
         **kwargs) -> GraphDataLoader:
     """Build dataset + loader with the reference's flag surface
     (ref data_loaders.py:481-520)."""
     del receptors  # accepted for parity; unused (ref also ignores it)
-    ds = dataset_class(
-        data_root, compact=compact,
-        augmented_active_count=augmented_actives,
-        augmented_active_min_angle=min_aug_angle,
-        polar_hydrogens=polar_hydrogens,
-        max_active_rms_distance=max_active_rms_distance,
-        min_inactive_rms_distance=min_inactive_rms_distance,
-        use_atomic_numbers=use_atomic_numbers,
-        fname_suffix=fname_suffix, types_fname=types_fname,
-        edge_radius=edge_radius, estimate_bonds=estimate_bonds,
-        prune=prune, bp=bp, radius=radius, rot=rot,
-        model_task=model_task, p_noise=p_noise, seed=seed,
-        cache_dir=cache_dir, **kwargs)
+
+    def make_ds(bp_filter):
+        return dataset_class(
+            data_root, compact=compact,
+            augmented_active_count=augmented_actives,
+            augmented_active_min_angle=min_aug_angle,
+            polar_hydrogens=polar_hydrogens,
+            max_active_rms_distance=max_active_rms_distance,
+            min_inactive_rms_distance=min_inactive_rms_distance,
+            use_atomic_numbers=use_atomic_numbers,
+            fname_suffix=fname_suffix, types_fname=types_fname,
+            edge_radius=edge_radius, estimate_bonds=estimate_bonds,
+            prune=prune, bp=bp_filter, radius=radius, rot=rot,
+            model_task=model_task, p_noise=p_noise, seed=seed,
+            cache_dir=cache_dir, **kwargs)
+
+    paired = None
+    if layout == 'pair':
+        # Receptor tower = bp 1, ligand tower = bp 0, same types file and
+        # index stream (ref siamese.py zips two entity-filtered loaders).
+        ds = make_ds(1)
+        paired = make_ds(0)
+    else:
+        ds = make_ds(bp)
     return GraphDataLoader(
         ds, batch_size=batch_size, mode=mode, num_devices=num_devices,
         prefetch=prefetch, seed=seed, shard_index=shard_index,
-        num_shards=num_shards)
+        num_shards=num_shards, layout=layout, paired_dataset=paired)

@@ -61,7 +61,9 @@ def get_model_and_test_dl(model_path, test_types, data_root,
         prune=cmd_args.get('prune', False),
         extended_atom_types=cmd_args.get('extended_atom_types', False),
         types_fname=test_types, mode='val', model_task=model_task,
-        num_devices=trainer.num_devices)
+        num_devices=trainer.num_devices,
+        layout={'pair': 'pair', 'dense': 'dense'}.get(
+            trainer.input_kind, 'graph'))
     return trainer, dl
 
 

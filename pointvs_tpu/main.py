@@ -27,13 +27,20 @@ from pointvs_tpu.utils import load_yaml, mkdir, save_yaml
 def build_loaders(args, num_devices: int):
     """Pose/affinity x train/test dataloaders from the flag set
     (ref point_vs.py:108-185)."""
+    from pointvs_tpu.models.registry import model_input_kind
     regression_task = ('multi_regression'
                        if (args.multi_target_affinity
                            or args.model_task == 'multi_regression')
                        else 'regression')
     dataset_class = (SynthPharmDataset if args.synthpharm else None)
+    input_kind = model_input_kind(args.model)
     import jax as _jax
     dl_kwargs = {
+        # Model input kind decides collation: 'pair' builds bp-filtered
+        # receptor/ligand tower datasets (ref siamese.py zipped loaders),
+        # 'dense' builds zero-padded (p, v, m) batches (ref vanilla).
+        'layout': {'pair': 'pair', 'dense': 'dense'}.get(input_kind,
+                                                         'graph'),
         'shard_index': _jax.process_index(),
         'num_shards': _jax.process_count(),
         'batch_size': args.batch_size,

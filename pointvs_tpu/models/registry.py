@@ -8,6 +8,8 @@ from pointvs_tpu.models.egnn import SartorrasEGNN
 from pointvs_tpu.models.en_transformer import EnTransformer
 from pointvs_tpu.models.lucid import LucidEGNN
 from pointvs_tpu.models.multitask import MultitaskSatorrasEGNN
+from pointvs_tpu.models.siamese import SiameseEGNN
+from pointvs_tpu.models.vanilla import DenseEGNN
 
 MODEL_REGISTRY = {
     'egnn': SartorrasEGNN,
@@ -17,7 +19,27 @@ MODEL_REGISTRY = {
     # The reference's SE(3)-transformer niche (its lie_transformer wrapped
     # external research libs); served here by the En-Transformer design.
     'lie_transformer': EnTransformer,
+    # Two-tower receptor/ligand network (ref point_vs/models/siamese.py).
+    'siamese': SiameseEGNN,
+    # Vanilla (p, v, m) family: the reference's LieConv/LieTransformer
+    # wrappers (point_vs/models/vanilla/lie_conv.py:50-115) served by the
+    # dense all-pairs EGNN redesign.
+    'lie_conv': DenseEGNN,
+    'dense_egnn': DenseEGNN,
 }
+
+# What pytree the model's __call__ consumes; drives loader collation and
+# Trainer init. 'graph' = GraphBatch, 'pair' = SiamesePair (two entity-
+# filtered GraphBatches), 'dense' = DenseBatch (zero-padded p/v/m).
+MODEL_INPUT_KIND = {
+    'siamese': 'pair',
+    'lie_conv': 'dense',
+    'dense_egnn': 'dense',
+}
+
+
+def model_input_kind(model_name: str) -> str:
+    return MODEL_INPUT_KIND.get(model_name, 'graph')
 
 
 def filter_model_kwargs(model_cls, kwargs: Dict[str, Any]) -> Dict[str, Any]:

@@ -1,18 +1,23 @@
 """Siamese two-tower network: separate receptor and ligand EGNN encoders.
 
-Ref parity: point_vs/models/siamese.py (SiameseNeuralNetwork, authored for
-a collaborator and unused in the paper): a receptor tower producing a
-128-d embedding, a ligand tower (coordinate updates frozen) producing a
-64-d embedding, concatenated through a 64->32->1 SiLU MLP.
+Ref parity: point_vs/models/siamese.py:23-137 (SiameseNeuralNetwork,
+authored for a collaborator and unused in the paper): a receptor tower
+producing a 128-d embedding, a ligand tower with coordinate updates frozen
+producing a 64-d embedding; forward is
+``silu(concat(rec, lig))`` -> Linear(192,64) SiLU -> Linear(64,32) SiLU ->
+Linear(32,1) (ref :69-72, :99-106 — note the extra SiLU applied to the
+concatenated embedding before the first linear layer).
 
-Here the towers are SartorrasEGNN trunks over two independent GraphBatches
-(built with the dataset's bp=1 / bp=0 entity filters).
+The towers are SartorrasEGNN trunks over the two GraphBatches of a
+``SiamesePair`` (built by the loader from bp=1 / bp=0 entity-filtered
+datasets, mirroring the reference's zipped receptor/ligand loaders).
 """
 from __future__ import annotations
 
+import jax.numpy as jnp
 from flax import linen as nn
 
-from pointvs_tpu.data.buckets import GraphBatch
+from pointvs_tpu.data.buckets import SiamesePair
 from pointvs_tpu.models.egnn import SartorrasEGNN
 from pointvs_tpu.models.layers import MLP
 
@@ -24,27 +29,35 @@ class SiameseEGNN(nn.Module):
     rec_embed_dim: int = 128
     lig_embed_dim: int = 64
     edge_attention: bool = False
+    softmax_attention: bool = False
     graphnorm: bool = True
+    residual: bool = True
+    normalize: bool = True
+    tanh: bool = True
+    scan_layers: bool = False
     model_task: str = 'classification'
+    dim_output: int = 1
 
     def setup(self):
+        tower_kwargs = dict(
+            dim_input=self.dim_input, k=self.k, num_layers=self.num_layers,
+            edge_attention=self.edge_attention,
+            softmax_attention=self.softmax_attention,
+            graphnorm=self.graphnorm, residual=self.residual,
+            normalize=self.normalize, tanh=self.tanh,
+            scan_layers=self.scan_layers)
         self.rec_tower = SartorrasEGNN(
-            dim_input=self.dim_input, k=self.k,
-            dim_output=self.rec_embed_dim, num_layers=self.num_layers,
-            edge_attention=self.edge_attention, graphnorm=self.graphnorm,
-            name='rec_tower')
+            dim_output=self.rec_embed_dim, name='rec_tower', **tower_kwargs)
+        # Ligand tower: coordinate updates frozen (ref siamese.py:40-41).
         self.lig_tower = SartorrasEGNN(
-            dim_input=self.dim_input, k=self.k,
-            dim_output=self.lig_embed_dim, num_layers=self.num_layers,
-            edge_attention=self.edge_attention, graphnorm=self.graphnorm,
-            update_coords=False, name='lig_tower')
-        self.head = MLP(features=(64, 32, 1),
+            dim_output=self.lig_embed_dim, update_coords=False,
+            name='lig_tower', **tower_kwargs)
+        self.head = MLP(features=(64, 32, self.dim_output),
                         acts=('silu', 'silu', 'identity'), name='head')
 
-    def __call__(self, rec_batch: GraphBatch, lig_batch: GraphBatch,
-                 train: bool = False):
-        import jax.numpy as jnp
-        rec_embed = self.rec_tower(rec_batch, train=train)
-        lig_embed = self.lig_tower(lig_batch, train=train)
-        return self.head(jnp.concatenate([rec_embed, lig_embed], axis=-1),
-                         train=train)
+    def __call__(self, batch: SiamesePair, train: bool = False):
+        rec_embed = self.rec_tower(batch.rec, train=train)
+        lig_embed = self.lig_tower(batch.lig, train=train)
+        embedding = jnp.concatenate([rec_embed, lig_embed], axis=-1)
+        # ref :103: x = silu(embedding) before the linear stack.
+        return self.head(nn.silu(embedding), train=train)

@@ -100,8 +100,14 @@ class DenseEGNN(nn.Module):
             name=f'dense_layer_{i}') for i in range(self.num_layers)]
         self.head = TorchLinear(self.dim_output, name='head')
 
-    def __call__(self, p, v, m, train: bool = False):
-        """p: [B, N, 3] coords; v: [B, N, F] features; m: [B, N] mask."""
+    def __call__(self, batch, train: bool = False):
+        """batch: DenseBatch with p [B,N,3], v [B,N,F], m [B,N] — or the
+        bare (p, v, m) tuple of the reference's vanilla contract."""
+        p, v, m = (batch.p, batch.v, batch.m) if hasattr(batch, 'p') \
+            else batch
+        return self.forward_pvm(p, v, m, train=train)
+
+    def forward_pvm(self, p, v, m, train: bool = False):
         mask = m.astype(p.dtype)
         feats = self.input_embed(v)
         coords = p
@@ -112,21 +118,26 @@ class DenseEGNN(nn.Module):
         return self.head(pooled)
 
 
-def dense_collate(samples, max_len: Optional[int] = None):
+def dense_collate(samples, max_len: Optional[int] = None,
+                  num_graphs: Optional[int] = None):
     """Zero-padded dense (p, v, m) batching (ref data_loaders.py:638-675
-    get_collate_fn) from GraphSamples."""
+    get_collate_fn) from GraphSamples -> DenseBatch."""
     import numpy as np
+    from pointvs_tpu.data.buckets import DenseBatch
     max_len = max_len or max(s.num_nodes for s in samples)
-    bsz = len(samples)
+    bsz = num_graphs or len(samples)
+    assert len(samples) <= bsz
     feat_dim = samples[0].node_feats.shape[1]
     p = np.zeros((bsz, max_len, 3), np.float32)
     v = np.zeros((bsz, max_len, feat_dim), np.float32)
     m = np.zeros((bsz, max_len), np.float32)
     y = np.zeros((bsz,), np.float32)
+    graph_mask = np.zeros((bsz,), np.float32)
     for i, s in enumerate(samples):
         n = s.num_nodes
         p[i, :n] = s.coords
         v[i, :n] = s.node_feats
         m[i, :n] = 1.0
         y[i] = np.asarray(s.y, np.float32).reshape(-1)[0]
-    return p, v, m, y
+        graph_mask[i] = 1.0
+    return DenseBatch(p, v, m, y, graph_mask)

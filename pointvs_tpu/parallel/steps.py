@@ -131,8 +131,11 @@ def make_eval_step(model, model_task: Optional[str], mesh: Mesh,
     apply_kwargs = {'task': model_task} if (multitask and model_task) else {}
     # Fusion amortises its input-staging overhead over depth: measured
     # 1.34x for 12-layer attention configs, but a loss for <=3 tiny
-    # layers. Gate on depth.
-    fuse = (use_fused and getattr(model, 'num_layers', 0) >= 6)
+    # layers. Gate on depth and on model support (siamese/dense models
+    # consume non-GraphBatch pytrees the fused engine cannot stage).
+    from pointvs_tpu.inference_engine import supports_fusion
+    fuse = (use_fused and getattr(model, 'num_layers', 0) >= 6
+            and supports_fusion(model))
 
     def eval_core(params, batch):
         if fuse and jax.default_backend() == 'tpu':

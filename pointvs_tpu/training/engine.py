@@ -27,10 +27,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from pointvs_tpu.analysis.top_n import top_n
-from pointvs_tpu.data.buckets import GraphBatch
+from pointvs_tpu.data.buckets import DenseBatch, GraphBatch, SiamesePair
 from pointvs_tpu.logging import get_logger
 from pointvs_tpu.models.registry import MODEL_REGISTRY, build_model, \
-    filter_model_kwargs
+    filter_model_kwargs, model_input_kind
 from pointvs_tpu.parallel.mesh import get_mesh, replicate, shard_batch
 from pointvs_tpu.parallel.steps import make_eval_step, make_train_step
 from pointvs_tpu.training.checkpoints import restore_checkpoint, \
@@ -95,6 +95,20 @@ def _dummy_batch(dim_input: int, num_graphs: int = 1) -> GraphBatch:
         recv_perm=np.argsort((np.arange(e) + 1) % n).astype(np.int32))
 
 
+def _dummy_input(input_kind: str, dim_input: int):
+    """Smallest valid model input for parameter init, by input kind."""
+    if input_kind == 'pair':
+        return SiamesePair(rec=_dummy_batch(dim_input),
+                           lig=_dummy_batch(dim_input))
+    if input_kind == 'dense':
+        return DenseBatch(p=np.zeros((1, 8, 3), np.float32),
+                          v=np.zeros((1, 8, dim_input), np.float32),
+                          m=np.ones((1, 8), np.float32),
+                          y=np.zeros((1,), np.float32),
+                          graph_mask=np.ones((1,), np.float32))
+    return _dummy_batch(dim_input)
+
+
 class Trainer:
     """Owns model + params + optimiser state and runs train/val loops."""
 
@@ -143,6 +157,7 @@ class Trainer:
         self.num_devices = self.mesh.devices.size
 
         self.model = build_model(model_name, **model_kwargs)
+        self.input_kind = model_input_kind(model_name)
         self.rng = jax.random.PRNGKey(seed)
         dim_input = model_kwargs.get('dim_input', 12)
         init_rng, self.rng = jax.random.split(self.rng)
@@ -150,7 +165,7 @@ class Trainer:
         # over a remote-tunnel TPU backend.
         params = jax.jit(self.model.init)(
             {'params': init_rng, 'dropout': init_rng},
-            _dummy_batch(dim_input))
+            _dummy_input(self.input_kind, dim_input))
         self.tx = build_optimiser(optimiser, weight_decay)
         opt_state = self.tx.init(params)
         self.params = replicate(params, self.mesh)
@@ -207,7 +222,10 @@ class Trainer:
 
     def _to_device(self, batch):
         """Compress + pack the batch into one device buffer (one H2D
-        transfer; see data/wire.py)."""
+        transfer; see data/wire.py). Non-GraphBatch pytrees (SiamesePair,
+        DenseBatch) ship as plain sharded arrays."""
+        if not isinstance(batch, GraphBatch):
+            return shard_batch(batch, self.mesh)
         from pointvs_tpu.data.wire import (compress, pack_stacked,
                                            stacked_template)
         wire = compress(batch)
