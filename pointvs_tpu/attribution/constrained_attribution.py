@@ -33,26 +33,76 @@ def distance_to_core(scored: pd.DataFrame, core_coords: np.ndarray
     return lig
 
 
-def constrained_attribution(model_path, rec, lig_files, core_lig,
+def mcs_core_coords(lig_files) -> dict:
+    """Per-ligand conserved-core coordinates via RDKit FindMCS across the
+    whole series (ref constrained_attribution.py:9,123-145). Needs RDKit
+    and RDKit-readable ligand files (sdf/mol/mol2)."""
+    from rdkit import Chem
+    from rdkit.Chem.rdFMCS import FindMCS
+
+    def read(f):
+        f = str(f)
+        if f.endswith('.sdf'):
+            return Chem.SDMolSupplier(f, True, False)[0]
+        if f.endswith(('.mol', '.mol2')):
+            return (Chem.MolFromMolFile(f) if f.endswith('.mol')
+                    else Chem.MolFromMol2File(f))
+        raise ValueError(f'FindMCS core detection needs sdf/mol/mol2 '
+                         f'ligands, got {f} — pass --core_ligand instead')
+
+    mols = {str(f): read(f) for f in lig_files}
+    mcs = Chem.MolFromSmarts(FindMCS(list(mols.values())).smartsString)
+    cores = {}
+    for path, mol in mols.items():
+        matches = mol.GetSubstructMatches(mcs)
+        if len(matches) != 1:
+            LOG.warning(f'{len(matches)} MCS matches for {path}; expected '
+                        f'exactly one — skipping (ref behaviour)')
+            continue
+        conf = mol.GetConformer()
+        cores[path] = np.array(
+            [[conf.GetAtomPosition(i).x, conf.GetAtomPosition(i).y,
+              conf.GetAtomPosition(i).z] for i in matches[0]])
+    return cores
+
+
+def constrained_attribution(model_path, rec, lig_files, core_lig=None,
                             attribution: str = 'atom_masking',
                             radius: float = 12, edge_radius: float = 4
                             ) -> pd.DataFrame:
-    """Scores + core distances for every ligand in the series."""
+    """Scores + core distances for every ligand in the series.
+
+    The conserved core comes from ``core_lig`` when given (an explicit
+    reference ligand file), otherwise from RDKit FindMCS across the
+    series — per-ligand core coordinates from that ligand's own matched
+    MCS atoms, as the reference does."""
     trainer, _, _ = load_model(model_path)
-    core_df = pd.read_parquet(core_lig) if str(core_lig).endswith(
-        '.parquet') else None
-    if core_df is None:
-        from pointvs_tpu.dataset_generation.types_to_parquet import \
-            StructuralFileParser
-        core_df = StructuralFileParser('ligand').file_to_parquets(core_lig)
-    core_coords = np.stack([core_df.x, core_df.y, core_df.z], axis=1)
+    per_lig_cores = None
+    core_coords = None
+    if core_lig is None:
+        per_lig_cores = mcs_core_coords(lig_files)
+    else:
+        core_df = pd.read_parquet(core_lig) if str(core_lig).endswith(
+            '.parquet') else None
+        if core_df is None:
+            from pointvs_tpu.dataset_generation.types_to_parquet import \
+                StructuralFileParser
+            core_df = StructuralFileParser('ligand').file_to_parquets(
+                core_lig)
+        core_coords = np.stack([core_df.x, core_df.y, core_df.z], axis=1)
 
     frames = []
     for lig in lig_files:
+        if per_lig_cores is not None:
+            core_coords_lig = per_lig_cores.get(str(lig))
+            if core_coords_lig is None:
+                continue
+        else:
+            core_coords_lig = core_coords
         scored = score_atoms(trainer, rec, lig,
                              ATTRIBUTION_FNS[attribution],
                              radius=radius, edge_radius=edge_radius)
-        frame = distance_to_core(scored, core_coords)
+        frame = distance_to_core(scored, core_coords_lig)
         frame['ligand'] = str(lig)
         frames.append(frame)
     return pd.concat(frames, ignore_index=True)
@@ -72,15 +122,18 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument('model')
     ap.add_argument('receptor')
-    ap.add_argument('core_ligand', help='Reference (core) ligand file')
     ap.add_argument('ligands', nargs='+')
+    ap.add_argument('--core_ligand', default=None,
+                    help='Explicit core ligand file; omit to detect the '
+                         'conserved core with RDKit FindMCS across the '
+                         'series (ref behaviour)')
     ap.add_argument('--attribution', default='atom_masking')
     ap.add_argument('--output_dir', '-o', default='constrained_out')
     args = ap.parse_args(argv)
     out = mkdir(args.output_dir)
     df = constrained_attribution(
-        args.model, args.receptor, args.ligands, args.core_ligand,
-        attribution=args.attribution)
+        args.model, args.receptor, args.ligands,
+        core_lig=args.core_ligand, attribution=args.attribution)
     df.to_csv(out / 'constrained_scores.csv', index=False)
     plot_distance_vs_score(df, out / 'distance_vs_score.png')
     LOG.info(f'Outputs in {out}')

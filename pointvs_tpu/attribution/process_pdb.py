@@ -126,15 +126,44 @@ def score_and_colour_pdb(trainer, attribution_fn, pdb_file, output_dir,
                       index=False)
         outputs[site_id] = out_pdb
         if HAVE_PYMOL:
-            _save_pymol_session(out_pdb,
-                                Path(output_dir) / f'{safe_id}.pse')
+            from pointvs_tpu.attribution.plip_subclasses import \
+                render_attribution_pse
+            ligname = site_id.split(':')[0] if ':' in site_id else None
+            render_attribution_pse(
+                out_pdb, Path(output_dir) / f'{safe_id}.pse',
+                bfactors=_bfactor_map(scored),
+                bonds=_top_bond_map(scored), ligname=ligname)
     return outputs
 
 
-def _save_pymol_session(coloured_pdb, pse_path):  # pragma: no cover
-    import pymol
-    pymol.finish_launching(['pymol', '-qc'])
-    pymol.cmd.load(str(coloured_pdb), 'complex')
-    pymol.cmd.spectrum('b', 'blue_white_red', 'complex')
-    pymol.cmd.save(str(pse_path))
-    pymol.cmd.delete('all')
+def _bfactor_map(scored):
+    """coords-string -> attribution score map for PyMOL alter_state."""
+    from pointvs_tpu.utils import coords_to_string
+    return {coords_to_string((row.x, row.y, row.z)): float(row.attribution)
+            for _, row in scored.iterrows()}
+
+
+def _top_bond_map(scored, top_n: int = 5, max_dist: float = 4.0):
+    """Top inter-entity attribution pairs as H-bond cylinder specs
+    (id -> (coords1, coords2, score)) for the .pse render. Pairs the
+    highest-attribution ligand atoms with their closest receptor atoms —
+    the reference drew PLIP H-bonds; this draws the model's own strongest
+    contacts when PLIP is absent."""
+    import numpy as np
+    lig = scored[scored.bp == 0]
+    rec = scored[scored.bp == 1]
+    if not len(lig) or not len(rec):
+        return {}
+    lig = lig.sort_values('attribution', ascending=False)[:top_n]
+    rec_xyz = rec[['x', 'y', 'z']].to_numpy()
+    bonds = {}
+    for i, (_, row) in enumerate(lig.iterrows()):
+        d = np.sqrt(((rec_xyz - np.array([row.x, row.y, row.z])) ** 2
+                     ).sum(1))
+        j = int(d.argmin())
+        if d[j] > max_dist:
+            continue
+        bonds[f'lig{i}-rec{j}'] = (
+            (row.x, row.y, row.z), tuple(rec_xyz[j]),
+            float(row.attribution))
+    return bonds

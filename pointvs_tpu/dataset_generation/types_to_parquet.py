@@ -277,6 +277,41 @@ class StructuralFileParser:
             types.append(type_int)
         return xs, ys, zs, atomic_nums, types
 
+    def mol_typed_atoms(self, mol):
+        """Yield (x, y, z, atomic_number, smina_type_str, residue_name)
+        for every heavy atom, on either chemistry backend. Used by the
+        attribution hotspot pipeline (ref hotspot.py:268-281) which needs
+        the smina type STRING, not the collapsed channel int."""
+        if HAVE_OPENBABEL and not hasattr(mol, 'atoms'):
+            for atom in mol:
+                if atom.atomicnum == 1:
+                    continue
+                residue = atom.OBAtom.GetResidue()
+                resname = residue.GetName() if residue is not None else ''
+                x, y, z = atom.coords
+                yield (x, y, z, atom.atomicnum,
+                       self.obatom_to_smina_type(atom), resname)
+            return
+        from pointvs_tpu.dataset_generation import chem
+        adj = mol.neighbours()
+        num_to_name = {6: 'A', 7: 'NA', 8: 'OA', 16: 'SA'}
+        for idx, atom in enumerate(mol.atoms):
+            if atom.element == 1:
+                continue
+            symbol = chem.Z_TO_SYMBOL.get(atom.element, 'M')
+            if atom.element == 6:
+                base = num_to_name[6] if atom.is_aromatic else 'C'
+            elif atom.element in (7, 8, 16):
+                base = num_to_name[atom.element]
+            else:
+                base = symbol
+            atype = self.adjust_smina_type(
+                self.string_to_smina_type(base),
+                mol.has_h_neighbour(idx, adj),
+                mol.has_hetero_neighbour(idx, adj))
+            yield (atom.x, atom.y, atom.z, atom.element, atype,
+                   atom.residue_name)
+
     def obmol_to_parquet(self, mol, add_polar_hydrogens: bool
                          ) -> pd.DataFrame:
         if HAVE_OPENBABEL:
@@ -323,7 +358,14 @@ class StructuralFileParser:
     # ------------------------------------------------------------------ #
     @staticmethod
     def download_pdb_file(pdbid: str, output_dir):
-        """Fetch a PDB structure from RCSB (ref :793-831)."""
+        """Fetch a PDB structure from RCSB (ref :793-831).
+
+        Downloads are cached under ~/.cache/pointvs_tpu/pdb/ (override
+        with POINTVS_PDB_CACHE) so repeat attribution runs — and offline
+        runs against previously fetched ids — never hit the network.
+        """
+        import os
+        import shutil
         output_dir = Path(output_dir).expanduser()
         pdbpath = output_dir / 'receptor.pdb'
         if pdbpath.is_file():
@@ -331,12 +373,35 @@ class StructuralFileParser:
             return pdbpath
         if len(pdbid) != 4:
             raise RuntimeError('Unknown protein ' + pdbid)
-        url = f'https://files.rcsb.org/download/{pdbid.lower()}.pdb'
-        with urllib.request.urlopen(url) as response:
-            contents = response.read().decode()
+        cache_dir = Path(os.environ.get(
+            'POINTVS_PDB_CACHE',
+            Path.home() / '.cache' / 'pointvs_tpu' / 'pdb'))
+        cached = cache_dir / f'{pdbid.lower()}.pdb'
+        if not cached.is_file():
+            url = f'https://files.rcsb.org/download/{pdbid.lower()}.pdb'
+            last_err = None
+            for attempt in range(3):
+                try:
+                    with urllib.request.urlopen(url, timeout=30) as resp:
+                        contents = resp.read().decode()
+                    break
+                except Exception as exc:   # URLError / timeout / HTTP
+                    last_err = exc
+                    LOG.warning(f'Fetching pdb {pdbid} failed '
+                                f'(attempt {attempt + 1}/3): {exc}')
+            else:
+                raise RuntimeError(
+                    f'Could not fetch {pdbid} from RCSB and it is not in '
+                    f'the offline cache ({cached}). Place the .pdb there '
+                    f'to run without network.') from last_err
+            cache_dir.mkdir(parents=True, exist_ok=True)
+            tmp = cached.with_suffix('.tmp')
+            tmp.write_text(contents)
+            tmp.rename(cached)
+            LOG.info(f'Downloaded {pdbid} into cache {cached}.')
         output_dir.mkdir(parents=True, exist_ok=True)
-        pdbpath.write_text(contents)
-        LOG.info(f'File downloaded as {pdbpath}.')
+        shutil.copyfile(cached, pdbpath)
+        LOG.info(f'File available as {pdbpath}.')
         return pdbpath
 
     def download_pdbs_from_csv(self, csv, output_dir):
