@@ -61,6 +61,12 @@ MODEL_KWARGS = {
     'softmax_attention': True,
 }
 
+# Same architecture at 3 layers: for parity/mechanism tests whose property
+# does not depend on depth — 6-layer unrolled CPU compiles dominated the
+# suite wall time. The reference-ported tolerance gates (invariance,
+# consistency, attention) keep the full 6-layer MODEL_KWARGS.
+FAST_MODEL_KWARGS = dict(MODEL_KWARGS, num_layers=3)
+
 DATALOADER_KWARGS = {
     'compact': True,
     'augmented_active_count': 0,

@@ -15,7 +15,7 @@ from pointvs_tpu.attribution.attribution_fns import (
 )
 from pointvs_tpu.models import build_model
 
-from .setup_and_params import MODEL_KWARGS, ORIGINAL_GRAPH
+from .setup_and_params import FAST_MODEL_KWARGS as MODEL_KWARGS, ORIGINAL_GRAPH
 
 np.random.seed(2)
 

@@ -6,7 +6,7 @@ import numpy as np
 
 from pointvs_tpu.models import build_model
 
-from .setup_and_params import MODEL_KWARGS, RESOURCES
+from .setup_and_params import FAST_MODEL_KWARGS as MODEL_KWARGS, RESOURCES
 
 
 def _batch():

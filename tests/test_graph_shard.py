@@ -12,7 +12,7 @@ from pointvs_tpu.parallel.graph_shard import (
 )
 from pointvs_tpu.parallel.mesh import get_mesh, replicate, shard_batch
 
-from .setup_and_params import MODEL_KWARGS, RESOURCES
+from .setup_and_params import FAST_MODEL_KWARGS as MODEL_KWARGS, RESOURCES
 
 np.random.seed(2)
 

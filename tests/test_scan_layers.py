@@ -9,7 +9,7 @@ import pytest
 
 from pointvs_tpu.models import build_model
 
-from .setup_and_params import MODEL_KWARGS, RESOURCES
+from .setup_and_params import FAST_MODEL_KWARGS as MODEL_KWARGS, RESOURCES
 
 KW = dict(MODEL_KWARGS, edge_residual=True)
 
