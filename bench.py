@@ -69,16 +69,28 @@ def load_samples(ds):
     return [ds[i] for i in range(len(ds))]
 
 
+def _sync(x) -> float:
+    """TRUE device synchronisation: materialise a scalar on the host.
+
+    jax.block_until_ready is NOT sufficient on the tunneled remote
+    backend — it returns before execution completes, which inflated
+    earlier device-step numbers by orders of magnitude. Only a D2H
+    fetch (float()) is a reliable fence.
+    """
+    import jax.numpy as jnp
+    return float(jnp.asarray(x).ravel()[0])
+
+
 def _timed_tput(step_fn, state, n_items, block):
-    """Best of 3 timed windows (the shared remote chip shows large
-    run-to-run interference; peak is the honest device capability)."""
-    import jax
+    """Best of 3 timed windows, each fenced by a D2H scalar fetch (the
+    shared remote chip shows run-to-run interference; peak of 3 is
+    reported)."""
     best = 0.0
     for _ in range(3):
         start = time.perf_counter()
         for _ in range(TIMED_STEPS):
             state = step_fn(state)
-        jax.block_until_ready(block(state))
+        _sync(block(state))
         best = max(best, n_items * TIMED_STEPS
                    / (time.perf_counter() - start))
     return best, state
@@ -127,7 +139,7 @@ def bench_tpu(samples, ds):
 
     for _ in range(WARMUP_STEPS):
         params, opt_state, loss = step(params, opt_state, dev_batch, lr, rng)
-    jax.block_until_ready(loss)
+    _sync(loss)
     train_tput, (params, opt_state, _) = _timed_tput(
         lambda s: step(s[0], s[1], dev_batch, lr, rng),
         (params, opt_state, loss), len(samples), lambda s: s[-1])
@@ -151,27 +163,42 @@ def bench_tpu(samples, ds):
                              num_devices=1, prefetch=2, seed=7,
                              node_buckets=(n_fix,), edge_buckets=(e_fix,))
 
-    def one_epoch(params, opt_state):
+    from pointvs_tpu.data.wire import (compress, pack_stacked,
+                                       stacked_template)
+
+    def to_device(b):
+        # One packed H2D buffer per step (as the Trainer ships batches):
+        # per-array transfers over the tunnel dominate otherwise.
+        wire = compress(b)
+        return ('packed', shard_batch(pack_stacked(wire), mesh),
+                stacked_template(wire))
+
+    def run_epochs(params, opt_state, n_ep):
+        """n_ep epochs with ONE D2H fence at the end — the engine fetches
+        losses every log_interval steps, so a per-step fence would charge
+        the tunnel's ~50 ms round trip to every batch."""
         n_seen = 0
-        for b, _meta in loader:
-            params, opt_state, loss = step(
-                params, opt_state, shard_batch(b, mesh), lr, rng)
-            n_seen += len(_meta.lig_fnames)
-        jax.block_until_ready(loss)
+        loss = None
+        for _ in range(n_ep):
+            for b, _meta in loader:
+                params, opt_state, loss = step(
+                    params, opt_state, to_device(b), lr, rng)
+                n_seen += len(_meta.lig_fnames)
+        _sync(loss)
         return params, opt_state, n_seen
 
-    params, opt_state, _ = one_epoch(params, opt_state)  # warm (compile)
+    params, opt_state, _ = run_epochs(params, opt_state, 1)  # warm
     e2e_tput = 0.0
     for _ in range(3):
         start = time.perf_counter()
-        params, opt_state, n_seen = one_epoch(params, opt_state)
+        params, opt_state, n_seen = run_epochs(params, opt_state, 5)
         e2e_tput = max(e2e_tput,
                        n_seen / (time.perf_counter() - start))
 
     # Secondary: inference throughput (poses scored/sec).
     eval_step = make_eval_step(model, 'classification', mesh)
     logits = eval_step(params, dev_batch)
-    jax.block_until_ready(logits)
+    _sync(logits)
     infer_tput, _ = _timed_tput(
         lambda s: eval_step(params, dev_batch), logits,
         len(samples), lambda s: s)
@@ -190,7 +217,7 @@ def bench_tpu(samples, ds):
     dstep = make_train_step(deep, tx, 'classification', 'mse', mesh)
     for _ in range(WARMUP_STEPS):
         dparams, dopt, dloss = dstep(dparams, dopt, dev_batch, lr, rng)
-    jax.block_until_ready(dloss)
+    _sync(dloss)
     deep_tput, _ = _timed_tput(
         lambda s: dstep(s[0], s[1], dev_batch, lr, rng),
         (dparams, dopt, dloss), len(samples), lambda s: s[-1])

@@ -11,9 +11,9 @@ GraphBatch on device as the first op of every step:
 - node_mask / edge_mask -> derived on device (graph_id < B, senders < N)
 - recv_perm -> uint16/int32 by edge padding
 
-On this container the host->device path is a ~100 MB/s network tunnel, so
-this is worth ~3x on end-to-end epoch time; on real hosts it still saves
-PCIe bytes and host memcpy.
+On this container the host->device path is a ~13-31 MB/s network tunnel
+(measured with D2H fencing), so this is worth ~3x on end-to-end epoch
+time; on real hosts it still saves PCIe bytes and host memcpy.
 """
 from __future__ import annotations
 

@@ -283,3 +283,76 @@ def fused_edge_forward(h: jnp.ndarray, h_dst_t: jnp.ndarray,
       params['cw1'], params['cb1'], params['cw2'],
       params['attw'], params['attb'])
     return agg, phi_t, att_t, msg_t
+
+
+# --------------------------------------------------------------------- #
+# Differentiable wrapper: fused forward + flash-style fused backward
+# (ops/pallas/fused_egnn_bwd.py recomputes each window's intermediates in
+# VMEM), so the TRAINING step can use the fused edge pass too.
+# --------------------------------------------------------------------- #
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))
+def fused_edge_pass(h, h_dst_t, extras_t, prev_t, params,
+                    num_nodes: int, window: int, max_eb: int,
+                    attention: str, tanh: bool, edge_residual: bool,
+                    interpret: bool = False):
+    """Differentiable fused edge pass.
+
+    Same contract as fused_edge_forward, but prev_t is always an array
+    ([K, E_pad]; ignored when edge_residual is False) so the pytree
+    structure is static, and messages are always emitted (the backward
+    needs nothing saved — it recomputes — but the caller may feed msg_t
+    into the next layer's prev).
+    """
+    return fused_edge_forward(
+        h, h_dst_t, extras_t, prev_t if edge_residual else None, params,
+        num_nodes=num_nodes, window=window, max_eb=max_eb,
+        attention=attention, tanh=tanh, emit_messages=True,
+        interpret=interpret)
+
+
+def _fep_fwd(h, h_dst_t, extras_t, prev_t, params,
+             num_nodes, window, max_eb, attention, tanh, edge_residual,
+             interpret):
+    out = fused_edge_pass(h, h_dst_t, extras_t, prev_t, params,
+                          num_nodes, window, max_eb, attention, tanh,
+                          edge_residual, interpret)
+    return out, (h, h_dst_t, extras_t, prev_t, params)
+
+
+def _fep_bwd(num_nodes, window, max_eb, attention, tanh, edge_residual,
+             interpret, residuals, cotangents):
+    from pointvs_tpu.ops.pallas.fused_egnn_bwd import fused_edge_backward
+    from pointvs_tpu.ops.sorted_segment import windowed_segment_sum
+    h, h_dst_t, extras_t, prev_t, params = residuals
+    d_agg, d_phi_t, d_att_t, d_msg_t = cotangents
+
+    d_hsrc_t, d_hdst_t, d_rad_t, d_prev_t, d_params = fused_edge_backward(
+        h, h_dst_t, extras_t, prev_t if edge_residual else None, params,
+        d_agg, d_phi_t, d_att_t, d_msg_t,
+        num_nodes=num_nodes, window=window, max_eb=max_eb,
+        attention=attention, tanh=tanh, interpret=interpret)
+
+    # Positions never blended by any window (padding edges, the e_pad
+    # tail) keep the output buffers' uninitialised values — SELECT them
+    # out with the mask row before anything downstream touches them: the
+    # windowed scatters are one-hot MATMULS, where 0-weight x NaN still
+    # poisons the sum.
+    mask_row = extras_t[4:5, :] > 0
+    d_hsrc_t = jnp.where(mask_row, d_hsrc_t, 0.0)
+    d_hdst_t = jnp.where(mask_row, d_hdst_t, 0.0)
+    d_rad_row = jnp.where(mask_row, d_rad_t[0:1, :], 0.0)
+
+    # Node-side gradient: scatter the per-edge d_h_src over the (sorted)
+    # senders on the MXU windowed-scatter path — no XLA scatter.
+    senders = extras_t[5, :].astype(jnp.int32)
+    d_h = windowed_segment_sum(d_hsrc_t.T, senders, num_nodes)
+
+    d_extras = jnp.zeros_like(extras_t).at[0:1, :].set(d_rad_row)
+    if d_prev_t is None:
+        d_prev_t = jnp.zeros_like(prev_t)
+    else:
+        d_prev_t = jnp.where(mask_row, d_prev_t, 0.0)
+    return d_h, d_hdst_t, d_extras, d_prev_t, d_params
+
+
+fused_edge_pass.defvjp(_fep_fwd, _fep_bwd)
