@@ -96,8 +96,16 @@ def fused_apply(model, params, batch: GraphBatch,
         lp = (jax.tree.map(lambda x, i=i: x[i], p['egnn_scan'])
               if model.scan_layers else p[f'egnn_layer_{i}'])
 
+        # h_dst and coord_dst ride one padded gather (its scatter-VJP
+        # stays on the 8-lane Pallas path), as the module forward does.
+        pad = (-(k + 3)) % 8
+        hc = jnp.concatenate(
+            [h, coord] + ([jnp.zeros((n_pad, pad), h.dtype)]
+                          if pad else []), axis=1)
+        hc_r = agg.gather_dst(hc)
         coord_s = agg.gather_src(coord)
-        coord_r = agg.gather_dst(coord)
+        coord_r = hc_r[:, k:k + 3]
+        h_dst = hc_r[:, :k]
         coord_diff = coord_s - coord_r
         radial = jnp.sum(coord_diff ** 2, axis=1)
         if model.normalize:
@@ -122,7 +130,7 @@ def fused_apply(model, params, batch: GraphBatch,
             jnp.concatenate([radial, pad_cols]),
             attr_rows[0], attr_rows[1], attr_rows[2],
             mask_row, senders_row, zrow, zrow])
-        h_dst_t = to_fm(agg.gather_dst(h))
+        h_dst_t = to_fm(h_dst)
 
         agg_feats, phi_t, _att_t, msg_t = fused_edge_pass(
             h, h_dst_t, extras_rows, prev_t, kparams,

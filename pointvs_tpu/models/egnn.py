@@ -123,9 +123,29 @@ class EGNNLayer(nn.Module):
         # variants are NOT identity on zeros.
         aux: Dict[str, Any] = {}
 
+        # Fused gathers: h and coord ride one [N, K+3+pad] gather per
+        # direction (padded so the gathers' scatter-VJPs stay on the
+        # 8-lane-aligned Pallas path) — halves the per-layer gather and
+        # backward-scatter launches. bf16 mode keeps h and coords in
+        # different dtypes, so it takes the separate-op path.
+        fuse_ops = self.dtype is None and h.dtype == coord.dtype
+        if fuse_ops:
+            k = h.shape[1]
+            pad = (-(k + 3)) % 8
+            hc = jnp.concatenate(
+                [h, coord] + ([jnp.zeros((h.shape[0], pad), h.dtype)]
+                              if pad else []), axis=1)
+            hc_s = agg.gather_src(hc)
+            hc_r = agg.gather_dst(hc)
+            h_s, coord_s = hc_s[:, :k], hc_s[:, k:k + 3]
+            h_r, coord_r = hc_r[:, :k], hc_r[:, k:k + 3]
+        else:
+            coord_s = agg.gather_src(coord)
+            coord_r = agg.gather_dst(coord)
+            h_s = agg.gather_src(h)
+            h_r = agg.gather_dst(h)
+
         # --- coord2radial (ref :178-187) ---
-        coord_s = agg.gather_src(coord)
-        coord_r = agg.gather_dst(coord)
         coord_diff = coord_s - coord_r
         radial = jnp.sum(coord_diff ** 2, axis=1, keepdims=True)
         if self.normalize:
@@ -133,8 +153,6 @@ class EGNNLayer(nn.Module):
             coord_diff = coord_diff / norm
 
         # --- edge model (ref :123-132) ---
-        h_s = agg.gather_src(h)
-        h_r = agg.gather_dst(h)
         radial_c = radial if self.dtype is None \
             else radial.astype(self.dtype)
         if self.permutation_invariance:
@@ -160,14 +178,10 @@ class EGNNLayer(nn.Module):
             edge_feat = res if has_prev is None else \
                 jnp.where(has_prev, res, edge_feat)
 
-        # --- coord model (ref :168-176) ---
-        if self.update_coords:
-            trans = coord_diff * self.coord_mlp(edge_feat, train=train)
-            coord = coord + agg.mean_to_src(trans, mask=edge_mask)
-        if capture_aux:
-            aux['intermediate_coords'] = coord
-
-        # --- node model (ref :134-166) ---
+        # --- coord model (ref :168-176) + node aggregation, fused ---
+        # The coord segment-mean (trans + counts) and the feature
+        # segment-sum scatter over the SAME senders: pack them into one
+        # windowed scatter (and one psum when edge-sharded).
         if self.edge_attention:
             att_logits = self.att_mlp(edge_feat)
             att_val = self._attention_activation(att_logits, agg, edge_mask)
@@ -176,7 +190,22 @@ class EGNNLayer(nn.Module):
             messages = att_val * edge_feat
         else:
             messages = edge_feat
-        agg_feats = agg.sum_to_src(messages, mask=edge_mask)
+
+        if self.update_coords:
+            trans = coord_diff * self.coord_mlp(edge_feat, train=train)
+            if fuse_ops:
+                agg_feats, coord_delta = agg.fused_sum_mean_to_src(
+                    messages, trans, mask=edge_mask)
+            else:
+                agg_feats = agg.sum_to_src(messages, mask=edge_mask)
+                coord_delta = agg.mean_to_src(trans, mask=edge_mask)
+            coord = coord + coord_delta
+        else:
+            agg_feats = agg.sum_to_src(messages, mask=edge_mask)
+        if capture_aux:
+            aux['intermediate_coords'] = coord
+
+        # --- node model (ref :134-166) ---
         combined = jnp.concatenate([h, agg_feats], axis=1)
         out = self.node_lin1(combined)
         if self.graphnorm:

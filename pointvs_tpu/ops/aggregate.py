@@ -105,6 +105,31 @@ class EdgeAggregator:
         return self._psum(windowed_segment_sum(
             self._masked(data, mask), self.senders, self.num_nodes))
 
+    def fused_sum_mean_to_src(self, messages, trans, mask=None):
+        """(segment_sum(messages), segment_mean(trans)) in ONE windowed
+        scatter: messages [E, K], trans [E, 3] and the count column share
+        the one-hot matmul (and, when edge-sharded, one psum) instead of
+        three separate scatter launches per layer."""
+        mask = self.edge_mask if mask is None else mask
+        ones = (jnp.ones((messages.shape[0], 1), messages.dtype)
+                if mask is None else mask[:, None].astype(messages.dtype))
+        k = messages.shape[1]
+        packed = jnp.concatenate(
+            [self._masked(messages, mask),
+             self._masked(trans.astype(messages.dtype), mask),
+             ones], axis=1)
+        pad = (-packed.shape[1]) % 8   # pallas path needs lanes % 8 == 0
+        if pad:
+            packed = jnp.concatenate(
+                [packed, jnp.zeros((packed.shape[0], pad),
+                                   packed.dtype)], axis=1)
+        out = self._psum(windowed_segment_sum(
+            packed, self.senders, self.num_nodes))
+        feat_sum = out[:, :k]
+        trans_sum = out[:, k:k + 3]
+        counts = jnp.maximum(out[:, k + 3:k + 4], 1.0)
+        return feat_sum, trans_sum / counts
+
     def mean_to_src(self, data, mask=None):
         mask = self.edge_mask if mask is None else mask
         total = self.sum_to_src(data, mask)

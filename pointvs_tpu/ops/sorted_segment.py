@@ -33,7 +33,16 @@ import jax
 import jax.numpy as jnp
 
 WINDOW = 128
-_PRECISION = jax.lax.Precision.HIGHEST
+# Matmul precision for the one-hot segment ops. HIGHEST (6-pass bf16) by
+# default — the E(3)-invariance gate is 3e-5 and f32 data must not be
+# silently truncated. POINTVS_SEGMENT_PRECISION=high selects 3-pass for
+# perf experiments (validate invariance on the REAL device before use:
+# the CPU gates run in f32 regardless and cannot catch it).
+_PRECISION = {
+    'high': jax.lax.Precision.HIGH,
+    'highest': jax.lax.Precision.HIGHEST,
+    'default': jax.lax.Precision.DEFAULT,
+}[os.environ.get('POINTVS_SEGMENT_PRECISION', 'highest').lower()]
 
 
 def _use_pallas() -> bool:
@@ -47,12 +56,21 @@ def _use_pallas() -> bool:
         return False
 
 
+_EB_ROUND = int(os.environ.get('POINTVS_EB_ROUND', '512'))
+
+
 def derive_max_eb(num_edges: int, num_segments: int,
                   window: int = WINDOW) -> int:
     """Static per-window edge capacity from padded shapes: twice the mean
-    window load, at least 1024, rounded to a power of two."""
+    window load, at least 1024, rounded UP to a multiple of 512 (the
+    one-hot matmul cost is linear in this capacity; the old
+    power-of-two rounding wasted up to 2x — measured 10% of the whole
+    train step. POINTVS_EB_ROUND=0 restores pow2)."""
     mean_load = window * num_edges / max(num_segments, 1)
     need = max(1024, int(2 * mean_load))
+    if _EB_ROUND >= 512:
+        cap = -(-need // _EB_ROUND) * _EB_ROUND
+        return min(cap, _pow2ceil(num_edges))
     cap = 1
     while cap < need:
         cap *= 2
