@@ -182,26 +182,41 @@ class EGNNLayer(nn.Module):
         # The coord segment-mean (trans + counts) and the feature
         # segment-sum scatter over the SAME senders: pack them into one
         # windowed scatter (and one psum when edge-sharded).
-        if self.edge_attention:
+        fuse_softmax = (self.edge_attention and self.softmax_attention
+                        and fuse_ops and self.update_coords
+                        and not capture_aux)
+        if fuse_softmax:
+            # Softmax weighting folded into the aggregation: the
+            # normalised per-edge attention is never materialised
+            # (sum softmax*m == sum(expd*m)/sum(expd)); one windowed
+            # scatter instead of three.
             att_logits = self.att_mlp(edge_feat)
-            att_val = self._attention_activation(att_logits, agg, edge_mask)
-            if capture_aux:
-                aux['att_val'] = att_val
-            messages = att_val * edge_feat
-        else:
-            messages = edge_feat
-
-        if self.update_coords:
             trans = coord_diff * self.coord_mlp(edge_feat, train=train)
-            if fuse_ops:
-                agg_feats, coord_delta = agg.fused_sum_mean_to_src(
-                    messages, trans, mask=edge_mask)
-            else:
-                agg_feats = agg.sum_to_src(messages, mask=edge_mask)
-                coord_delta = agg.mean_to_src(trans, mask=edge_mask)
+            agg_feats, coord_delta = agg.fused_softmax_aggregate(
+                edge_feat, att_logits, trans, mask=edge_mask)
             coord = coord + coord_delta
         else:
-            agg_feats = agg.sum_to_src(messages, mask=edge_mask)
+            if self.edge_attention:
+                att_logits = self.att_mlp(edge_feat)
+                att_val = self._attention_activation(att_logits, agg,
+                                                     edge_mask)
+                if capture_aux:
+                    aux['att_val'] = att_val
+                messages = att_val * edge_feat
+            else:
+                messages = edge_feat
+
+            if self.update_coords:
+                trans = coord_diff * self.coord_mlp(edge_feat, train=train)
+                if fuse_ops:
+                    agg_feats, coord_delta = agg.fused_sum_mean_to_src(
+                        messages, trans, mask=edge_mask)
+                else:
+                    agg_feats = agg.sum_to_src(messages, mask=edge_mask)
+                    coord_delta = agg.mean_to_src(trans, mask=edge_mask)
+                coord = coord + coord_delta
+            else:
+                agg_feats = agg.sum_to_src(messages, mask=edge_mask)
         if capture_aux:
             aux['intermediate_coords'] = coord
 

@@ -105,6 +105,53 @@ class EdgeAggregator:
         return self._psum(windowed_segment_sum(
             self._masked(data, mask), self.senders, self.num_nodes))
 
+    def fused_softmax_aggregate(self, edge_feat, logits, trans, mask=None):
+        """Softmax-attention aggregation + coordinate mean in ONE scatter.
+
+        Per-destination softmax(logits) weighting of edge_feat, aggregated
+        without materialising normalised per-edge attention:
+        sum_e softmax_e * m_e == (sum_e expd_e * m_e) / (sum_e expd_e),
+        so [expd*m (K) | trans (3) | expd (1) | mask (1)] ride one
+        windowed scatter instead of softmax's sum + gather plus two more
+        aggregations (ref per-edge semantics preserved exactly up to fp
+        summation order; the capture_aux path keeps the explicit per-edge
+        attention for the attribution tools and the sums-to-1 gate).
+        """
+        mask = self.edge_mask if mask is None else mask
+        squeeze = logits.ndim == 2 and logits.shape[-1] == 1
+        flat = logits[:, 0] if squeeze else logits
+        guarded = jnp.where(mask > 0, flat,
+                            jnp.asarray(-1e30, flat.dtype)) \
+            if mask is not None else flat
+        seg_max = self._pmax(windowed_segment_max(
+            guarded, self.senders, self.num_nodes))
+        seg_max = jnp.where(seg_max > -1e29, seg_max, 0.0)
+        shift = jax.lax.stop_gradient(
+            seg_max[jnp.minimum(self.senders, self.num_nodes - 1)])
+        expd = jnp.exp(flat - shift)
+        if mask is not None:
+            expd = expd * mask.astype(expd.dtype)
+
+        k = edge_feat.shape[1]
+        ones = (jnp.ones((edge_feat.shape[0], 1), edge_feat.dtype)
+                if mask is None else
+                mask[:, None].astype(edge_feat.dtype))
+        packed = jnp.concatenate(
+            [edge_feat * expd[:, None],
+             self._masked(trans.astype(edge_feat.dtype), mask),
+             expd[:, None], ones], axis=1)
+        pad = (-packed.shape[1]) % 8
+        if pad:
+            packed = jnp.concatenate(
+                [packed, jnp.zeros((packed.shape[0], pad),
+                                   packed.dtype)], axis=1)
+        out = self._psum(windowed_segment_sum(
+            packed, self.senders, self.num_nodes))
+        denom = jnp.maximum(out[:, k + 3:k + 4], 1e-16)
+        feat_agg = out[:, :k] / denom
+        counts = jnp.maximum(out[:, k + 4:k + 5], 1.0)
+        return feat_agg, out[:, k:k + 3] / counts
+
     def fused_sum_mean_to_src(self, messages, trans, mask=None):
         """(segment_sum(messages), segment_mean(trans)) in ONE windowed
         scatter: messages [E, K], trans [E, 3] and the count column share
