@@ -118,7 +118,7 @@ def make_train_step(model, tx, model_task: str, regression_loss: str,
 
 def make_eval_step(model, model_task: Optional[str], mesh: Mesh,
                    axis_name: str = 'dp', multitask: bool = False,
-                   use_fused: bool = True) -> Callable:
+                   use_fused: bool = False) -> Callable:
     """Returns jitted step(params, batch[D,...]) -> logits [D, B/D, out].
 
     Inference goes through the fused Pallas engine when the model/shape
@@ -129,10 +129,12 @@ def make_eval_step(model, model_task: Optional[str], mesh: Mesh,
     """
 
     apply_kwargs = {'task': model_task} if (multitask and model_task) else {}
-    # Fusion amortises its input-staging overhead over depth: measured
-    # 1.34x for 12-layer attention configs, but a loss for <=3 tiny
-    # layers. Gate on depth and on model support (siamese/dense models
-    # consume non-GraphBatch pytrees the fused engine cannot stage).
+    # The fused Pallas engine USED to win 1.5x at >=6 layers; after the
+    # round-2 per-layer op fusion in the module forward (packed gathers +
+    # single aggregation scatter + folded softmax), the module path is
+    # honestly 1.3-2x FASTER at every measured shape (12L softmax: 996 vs
+    # 766 poses/s; sigmoid: 2012 vs 995), so it is now the default.
+    # use_fused=True keeps the engine reachable for A/B.
     from pointvs_tpu.inference_engine import supports_fusion
     fuse = (use_fused and getattr(model, 'num_layers', 0) >= 6
             and supports_fusion(model))
