@@ -264,7 +264,12 @@ def pad_graphs_to_batch(samples: Sequence[GraphSample],
         # and padding (id n_pad) sits at the end.
         recv_perm = _argsort_ids(receivers, n_pad).astype(np.int32)
 
-    _check_window_capacity(senders, receivers, n_pad, e_pad)
+    needed = _required_e_pad(senders, receivers, n_pad, e_pad)
+    if needed != e_pad:
+        # Rare dense batch: rebuild with enough edge padding that the
+        # windowed scatter's derived capacity covers the realised loads.
+        return pad_graphs_to_batch(samples, num_graphs=num_graphs,
+                                   n_pad=n_pad, e_pad=needed)
 
     return GraphBatch(node_feats, coords, node_mask, graph_id, senders,
                       receivers, edge_attr, edge_mask, y, graph_mask,
@@ -303,22 +308,28 @@ def _sorted_max_window_load(sorted_ids: np.ndarray, n_pad: int,
     return int(np.diff(idx).max()) if len(idx) > 1 else 0
 
 
-def _check_window_capacity(senders, receivers, n_pad: int, e_pad: int):
-    """The windowed scatter derives a static per-window edge capacity from
-    (e_pad, n_pad); verify the realised loads fit, loudly."""
+def _required_e_pad(senders, receivers, n_pad: int, e_pad: int) -> int:
+    """The windowed scatter derives a static per-window edge capacity
+    from (e_pad, n_pad). Return the e_pad under which the realised
+    window loads fit — e_pad itself when they already do, a larger
+    padding otherwise (dense pockets can exceed the 2x-mean capacity;
+    growing the padding grows the derived capacity, costing only extra
+    masked edges on rare pathological batches)."""
     from pointvs_tpu.ops.sorted_segment import WINDOW, derive_max_eb
     cap = derive_max_eb(e_pad, n_pad)
-    # senders are sorted by construction; receivers need the O(E) count.
-    loads = (_sorted_max_window_load(senders, n_pad, WINDOW),
-             _max_window_load(receivers, n_pad, WINDOW))
-    for max_load in loads:
-        if max_load > cap:
-            raise ValueError(
-                f'Graph too dense for the windowed scatter: a {WINDOW}-node '
-                f'window has {max_load} incident edges but the derived '
-                f'capacity is {cap} (e_pad={e_pad}, n_pad={n_pad}). '
-                f'Increase the edge bucket (lower node bucket density) or '
-                f'raise ops.sorted_segment capacity.')
+    max_load = max(_sorted_max_window_load(senders, n_pad, WINDOW),
+                   _max_window_load(receivers, n_pad, WINDOW))
+    if max_load <= cap:
+        return e_pad
+    grown = e_pad
+    for _ in range(64):
+        grown = -(-int(grown * 1.25) // 512) * 512
+        if derive_max_eb(grown, n_pad) >= max_load:
+            return grown
+    raise ValueError(
+        f'Graph too dense for the windowed scatter: a {WINDOW}-node '
+        f'window has {max_load} incident edges (e_pad={e_pad}, '
+        f'n_pad={n_pad}).')
 
 
 def stack_device_batches(batches):

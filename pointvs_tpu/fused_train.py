@@ -158,6 +158,9 @@ def fused_apply(model, params, batch: GraphBatch,
             std = jnp.sqrt(broadcast_per_graph(
                 var, batch.graph_id, num_graphs) + 1e-5)
             out = gn['weight'] * centred / std + gn['bias']
+            # Padding rows would be amplified by 1/sqrt(eps) per layer
+            # (see ops/graphnorm.py) — zero them.
+            out = jnp.where(batch.node_mask[:, None] > 0, out, 0.0)
         out = jax.nn.silu(out)
         w2, b2 = _dense_w(lp['node_lin2']['Dense_0'])
         out = jnp.matmul(out, w2.T, precision=_HI) + b2[:, 0]

@@ -204,6 +204,9 @@ def fused_forward(model, params, batch: GraphBatch,
                                      num_graphs, batch.node_mask)
             out = gn['weight'] * centred / jnp.sqrt(
                 var[ids] + 1e-5) + gn['bias']
+            # Padding rows would be amplified by 1/sqrt(eps) per layer
+            # (see ops/graphnorm.py) — zero them.
+            out = jnp.where(batch.node_mask[:, None] > 0, out, 0.0)
         out = jax.nn.silu(out)
         w2, b2 = _dense_w(lp['node_lin2']['Dense_0'])
         out = jnp.matmul(out, w2.T, precision=_HI) + b2[:, 0]

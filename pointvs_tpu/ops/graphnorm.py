@@ -56,4 +56,10 @@ class GraphNorm(nn.Module):
         var = _masked_graph_mean(out * out, graph_id, num_graphs, node_mask)
         std = jnp.sqrt(
             broadcast_per_graph(var, graph_id, num_graphs) + self.eps)
-        return weight * out / std + bias
+        # Padding rows (graph_id == num_graphs) broadcast all-zero stats,
+        # so x/sqrt(eps) would AMPLIFY them ~300x per layer — at 13+
+        # layers they overflow to inf and poison real rows through the
+        # masked (0 * inf = NaN) aggregation multiplies. Zero them: they
+        # carry no information and every consumer masks them anyway.
+        return jnp.where(node_mask[:, None] > 0,
+                         weight * out / std + bias, 0.0)

@@ -36,3 +36,20 @@ def test_satorras_egnn_attention():
         np.testing.assert_allclose(sums, np.ones_like(sums), atol=1e-6)
     if not checked:
         pytest.fail('No attention layers found in aux outputs')
+
+
+def test_fused_softmax_aggregation_matches_explicit():
+    """The capture_aux path materialises per-edge softmax attention; the
+    training path folds the normalisation into the aggregation scatter
+    (sum softmax*m == sum(expd*m)/sum(expd)). Same params, same batch:
+    outputs must agree to fp-reassociation tolerance."""
+    import jax
+    import numpy as np
+    from pointvs_tpu.models import build_model
+    from .setup_and_params import MODEL_KWARGS, ORIGINAL_GRAPH
+
+    model = build_model('egnn', **MODEL_KWARGS)
+    params = model.init(jax.random.PRNGKey(2), ORIGINAL_GRAPH)
+    fused = np.asarray(model.apply(params, ORIGINAL_GRAPH))
+    explicit, _aux = model.apply(params, ORIGINAL_GRAPH, capture_aux=True)
+    np.testing.assert_allclose(fused, np.asarray(explicit), atol=1e-5)

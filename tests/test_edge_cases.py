@@ -58,3 +58,25 @@ def test_mixed_batch_with_edgeless_graph():
     assert np.isfinite(out[:3]).all()
     # identical graphs in the same batch produce identical outputs
     assert out[0, 0] == pytest.approx(out[2, 0], abs=3e-5)
+
+
+def test_deep_graphnorm_padding_stability():
+    """Regression: GraphNorm broadcast zero stats onto PADDING rows and
+    amplified them ~1/sqrt(eps) per layer — finite until ~12 layers, inf
+    at 13+, then NaN in real rows via 0*inf in masked aggregation. A
+    16-layer graphnorm model on a padded batch must stay finite (and the
+    fix zeroes padding rows, which every consumer masks anyway)."""
+    import jax
+    import numpy as np
+    from pointvs_tpu.models import build_model
+    from .setup_and_params import ORIGINAL_GRAPH
+
+    assert float(np.sum(np.asarray(ORIGINAL_GRAPH.node_mask) == 0)) > 0, \
+        'fixture must contain padding rows for this regression test'
+    model = build_model('egnn', dim_input=12, k=16, dim_output=1,
+                        num_layers=16, edge_attention=True,
+                        softmax_attention=True, graphnorm=True,
+                        residual=True, normalize=True, tanh=True)
+    params = jax.jit(model.init)(jax.random.PRNGKey(2), ORIGINAL_GRAPH)
+    out = np.asarray(model.apply(params, ORIGINAL_GRAPH))
+    assert np.isfinite(out).all(), out
