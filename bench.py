@@ -64,6 +64,24 @@ def make_dataset():
         model_task='classification', cache_dir=CACHE_DIR)
 
 
+def make_e2e_dataset():
+    """A 320-complex training set (all 11 actives + decoys) for the
+    end-to-end epochs benchmark: 10 batches/epoch so the loader's
+    producer-thread pipeline streams as it does in real training."""
+    from pointvs_tpu.data.dataset import PointCloudDataset
+    lines = TYPES_FILE.read_text().splitlines()
+    actives = [l for l in lines if l.startswith('1')]
+    decoys = [l for l in lines if l.startswith('0')]
+    subset = actives + decoys[:320 - len(actives)]
+    subset_file = CACHE_DIR / 'e2e_subset.types'
+    CACHE_DIR.mkdir(exist_ok=True)
+    subset_file.write_text('\n'.join(subset) + '\n')
+    return PointCloudDataset(
+        DATA_ROOT, radius=10, polar_hydrogens=False, compact=False,
+        rot=False, types_fname=subset_file, edge_radius=4.0,
+        model_task='classification', cache_dir=CACHE_DIR)
+
+
 def load_samples(ds):
     """Preprocess N_GRAPHS complexes (disk-cached across runs)."""
     return [ds[i] for i in range(len(ds))]
@@ -144,23 +162,31 @@ def bench_tpu(samples, ds):
         lambda s: step(s[0], s[1], dev_batch, lr, rng),
         (params, opt_state, loss), len(samples), lambda s: s[-1])
 
-    # --- end-to-end: a real hot epoch through the loader (host sampling +
-    # collation + H2D + step). Buckets pinned to one compiled shape from
-    # the sampled compositions (weighted sampling with replacement varies
-    # per-epoch totals; a margin keeps every epoch in the same bucket).
-    probe = GraphDataLoader(ds, batch_size=N_GRAPHS, mode='train',
+    # --- end-to-end: real hot training epochs through the loader (host
+    # sampling + collation + packed H2D + step). Uses a LARGER dataset
+    # than the 32-graph device-step benchmark (several batches per epoch)
+    # so the producer-thread pipeline actually streams — 1-batch epochs
+    # drain the pipeline at every epoch boundary and measure only serial
+    # latency, which no real training run pays. Buckets pinned to one
+    # compiled shape from the sampled compositions (weighted sampling
+    # with replacement varies per-epoch totals; a margin keeps every
+    # epoch in the same bucket).
+    e2e_ds = make_e2e_dataset()
+    probe = GraphDataLoader(e2e_ds, batch_size=N_GRAPHS, mode='train',
                             num_devices=1, prefetch=0, seed=7)
     max_n = max_e = 0
     for _ in range(3):
-        for idx_chunk in np.array_split(probe._epoch_indices(), 1):
-            szs = [(ds[int(i)].num_nodes, ds[int(i)].num_edges)
-                   for i in idx_chunk]
+        idx = probe._epoch_indices()
+        for lo in range(0, len(idx) - N_GRAPHS + 1, N_GRAPHS):
+            szs = [(e2e_ds[int(i)].num_nodes, e2e_ds[int(i)].num_edges)
+                   for i in idx[lo:lo + N_GRAPHS]]
             max_n = max(max_n, sum(s[0] for s in szs))
             max_e = max(max_e, sum(s[1] for s in szs))
-    n_fix = int(np.ceil(max_n * 1.25 / 256) * 256)
-    e_fix = int(np.ceil(max_e * 1.25 / 256) * 256)
-    loader = GraphDataLoader(ds, batch_size=N_GRAPHS, mode='train',
-                             num_devices=1, prefetch=2, seed=7,
+    n_fix = int(np.ceil(max_n * 1.3 / 256) * 256)
+    e_fix = int(np.ceil(max_e * 1.3 / 256) * 256)
+    loader = GraphDataLoader(e2e_ds, batch_size=N_GRAPHS, mode='train',
+                             num_devices=1, prefetch=3, seed=7,
+                             drop_last=True,
                              node_buckets=(n_fix,), edge_buckets=(e_fix,))
 
     from pointvs_tpu.data.wire import (compress, pack_stacked,
@@ -173,6 +199,10 @@ def bench_tpu(samples, ds):
         return ('packed', shard_batch(pack_stacked(wire), mesh),
                 stacked_template(wire))
 
+    # As the Trainer runs: collation + packing + async device_put all
+    # happen in the loader's producer thread, overlapping device compute.
+    loader.transfer_fn = to_device
+
     def run_epochs(params, opt_state, n_ep):
         """n_ep epochs with ONE D2H fence at the end — the engine fetches
         losses every log_interval steps, so a per-step fence would charge
@@ -181,8 +211,8 @@ def bench_tpu(samples, ds):
         loss = None
         for _ in range(n_ep):
             for b, _meta in loader:
-                params, opt_state, loss = step(
-                    params, opt_state, to_device(b), lr, rng)
+                params, opt_state, loss = step(params, opt_state, b,
+                                               lr, rng)
                 n_seen += len(_meta.lig_fnames)
         _sync(loss)
         return params, opt_state, n_seen
@@ -191,7 +221,7 @@ def bench_tpu(samples, ds):
     e2e_tput = 0.0
     for _ in range(3):
         start = time.perf_counter()
-        params, opt_state, n_seen = run_epochs(params, opt_state, 5)
+        params, opt_state, n_seen = run_epochs(params, opt_state, 2)
         e2e_tput = max(e2e_tput,
                        n_seen / (time.perf_counter() - start))
 

@@ -136,6 +136,13 @@ def parse_args(argv=None):
                         help='Rematerialise each EGNN layer in backward '
                              '(jax.checkpoint): O(depth) activation memory '
                              'for deep (e.g. 48-layer) configs')
+    parser.add_argument('--graph_shard', type=int, default=1,
+                        help='Edge parallelism: split each graph\'s edge '
+                             'arrays over this many devices (a 2-D dp x '
+                             'gp mesh; num_devices must be divisible by '
+                             'it). For complexes whose edge tensors '
+                             'exceed one device\'s memory; EGNN/lucid/'
+                             'EnTransformer models only')
     parser.add_argument('--multihost', action='store_true',
                         help='Initialise jax.distributed for multi-host '
                              '(DCN) training; data is sharded by process '

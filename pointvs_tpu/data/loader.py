@@ -44,13 +44,19 @@ LOG = get_logger('PointVS-TPU')
 
 
 class BatchMeta:
-    """Host-side metadata for one batch (filenames line up with graph slots)."""
+    """Host-side metadata for one batch (filenames line up with graph
+    slots). ``y``/``graph_mask`` are host copies of the batch targets so
+    consumers (predictions writers) never need to read them back from a
+    device-resident batch."""
 
-    __slots__ = ('lig_fnames', 'rec_fnames')
+    __slots__ = ('lig_fnames', 'rec_fnames', 'y', 'graph_mask')
 
-    def __init__(self, lig_fnames: List[str], rec_fnames: List[str]):
+    def __init__(self, lig_fnames: List[str], rec_fnames: List[str],
+                 y=None, graph_mask=None):
         self.lig_fnames = lig_fnames
         self.rec_fnames = rec_fnames
+        self.y = y
+        self.graph_mask = graph_mask
 
 
 class GraphDataLoader:
@@ -63,14 +69,21 @@ class GraphDataLoader:
                  node_buckets=DEFAULT_NODE_BUCKETS,
                  edge_buckets=DEFAULT_EDGE_BUCKETS,
                  shard_index: int = 0, num_shards: int = 1,
-                 layout: str = 'graph', paired_dataset=None):
+                 layout: str = 'graph', paired_dataset=None,
+                 graph_shard: int = 1):
         if layout not in ('graph', 'dense', 'pair'):
             raise ValueError(f'unknown layout {layout!r}')
         if layout == 'pair' and paired_dataset is None:
             raise ValueError("layout='pair' needs paired_dataset (the "
                              'ligand-side dataset)')
+        if graph_shard > 1 and layout != 'graph':
+            raise ValueError('--graph_shard requires the graph layout')
         self.layout = layout
         self.paired_dataset = paired_dataset
+        # Edge parallelism: each data-parallel row's sub-batch ships as
+        # [gp, ...] edge shards (parallel/graph_shard.py). num_devices
+        # here counts dp ROWS; the full mesh is num_devices * graph_shard.
+        self.graph_shard = graph_shard
         if batch_size % num_devices:
             raise ValueError(
                 f'batch_size {batch_size} not divisible by num_devices '
@@ -105,6 +118,13 @@ class GraphDataLoader:
             mode == 'train'
             and dataset.model_task == 'classification'
             and getattr(dataset, 'sample_weights', None) is not None)
+        # Optional host->device transfer applied INSIDE the producer
+        # thread (set by the training engine): collation, wire packing
+        # and the async device_put then all overlap device compute, which
+        # is worth ~2x end-to-end on tunneled backends where the H2D
+        # path is slow. Consumers still get (batch, meta); meta carries
+        # host y/graph_mask for predictions writers.
+        self.transfer_fn = None
 
     def __len__(self):
         n = -(-len(self.dataset) // self.num_shards)
@@ -185,7 +205,7 @@ class GraphDataLoader:
                  ) -> Tuple[GraphBatch, BatchMeta]:
         meta = BatchMeta([s.lig_fname for s in samples],
                          [s.rec_fname for s in samples])
-        if self.num_devices == 1:
+        if self.num_devices == 1 and self.graph_shard == 1:
             batch = pad_graphs_to_batch(
                 samples, num_graphs=self.batch_size,
                 node_buckets=self.node_buckets,
@@ -225,8 +245,17 @@ class GraphDataLoader:
                 if dummy is None:
                     dummy = _dummy_sample(samples[0])
                 shard = [dummy]
-            shard_batch = pad_graphs_to_batch(
-                shard, num_graphs=per_dev, n_pad=n_pad, e_pad=e_pad)
+            if self.graph_shard > 1:
+                # [gp, ...]: the row's edges split over the gp columns,
+                # node arrays replicated (parallel/graph_shard.py).
+                from pointvs_tpu.parallel.graph_shard import \
+                    shard_graph_batch
+                shard_batch = shard_graph_batch(
+                    shard, self.graph_shard, num_graphs=per_dev,
+                    n_pad=n_pad, e_pad=e_pad)
+            else:
+                shard_batch = pad_graphs_to_batch(
+                    shard, num_graphs=per_dev, n_pad=n_pad, e_pad=e_pad)
             if is_dummy:
                 # Placeholder graphs must not count as real examples.
                 shard_batch = shard_batch._replace(
@@ -242,49 +271,75 @@ class GraphDataLoader:
                 return
             samples = [self.dataset[int(i)] for i in chunk]
             if self.layout == 'dense':
-                yield self._collate_dense(samples)
+                batch, meta = self._collate_dense(samples)
             elif self.layout == 'pair':
                 lig = [self.paired_dataset[int(i)] for i in chunk]
-                yield self._collate_pair(samples, lig)
+                batch, meta = self._collate_pair(samples, lig)
             else:
-                yield self._collate(samples)
+                batch, meta = self._collate(samples)
+            meta.y = np.asarray(batch.y)
+            meta.graph_mask = np.asarray(batch.graph_mask)
+            if self.graph_shard > 1 and self.layout == 'graph':
+                # [dp, gp, B_row]: graph arrays are replicated along gp
+                # and the 2-D eval step emits [dp, B_row, out] logits —
+                # collapse gp so meta lines up with the logits.
+                meta.y = meta.y[:, 0]
+                meta.graph_mask = meta.graph_mask[:, 0]
+            yield batch, meta
+
+    def _apply_transfer(self, item):
+        """Ship a host batch to device (runs in the producer thread when
+        prefetching, so the H2D transfer overlaps device compute)."""
+        if self.transfer_fn is None:
+            return item
+        batch, meta = item
+        return self.transfer_fn(batch), meta
 
     def __iter__(self):
-        if self._cacheable:
-            if self._batch_cache is not None:
-                yield from self._batch_cache
-                return
-            cache = []
-            for item in self._produce():
-                cache.append(item)
-                yield item
-            self._batch_cache = cache
+        # Deterministic loaders cache HOST batches; the device transfer is
+        # re-applied per pass (the async device_put still pipelines ahead
+        # of the consumer).
+        if self._cacheable and self._batch_cache is not None:
+            for item in self._batch_cache:
+                yield self._apply_transfer(item)
             return
+        cache = [] if self._cacheable else None
         if self.prefetch <= 0:
-            yield from self._produce()
-            return
-        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
-        sentinel = object()
-        error_holder = []
+            for item in self._produce():
+                if cache is not None:
+                    cache.append(item)
+                yield self._apply_transfer(item)
+        else:
+            q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+            sentinel = object()
+            error_holder = []
 
-        def worker():
-            try:
-                for item in self._produce():
-                    q.put(item)
-            except BaseException as exc:  # surface in consumer thread
-                error_holder.append(exc)
-            finally:
-                q.put(sentinel)
+            def worker():
+                try:
+                    for item in self._produce():
+                        # Transfer runs here, in the producer thread, so
+                        # collation + packing + H2D overlap the consumer's
+                        # device compute.
+                        q.put((item, self._apply_transfer(item)))
+                except BaseException as exc:  # surface in consumer thread
+                    error_holder.append(exc)
+                finally:
+                    q.put(sentinel)
 
-        thread = threading.Thread(target=worker, daemon=True)
-        thread.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                if error_holder:
-                    raise error_holder[0]
-                return
-            yield item
+            thread = threading.Thread(target=worker, daemon=True)
+            thread.start()
+            while True:
+                got = q.get()
+                if got is sentinel:
+                    if error_holder:
+                        raise error_holder[0]
+                    break
+                host_item, out_item = got
+                if cache is not None:
+                    cache.append(host_item)
+                yield out_item
+        if cache is not None:
+            self._batch_cache = cache
 
 
 def _dummy_sample(template: GraphSample) -> GraphSample:
@@ -312,7 +367,7 @@ def get_data_loader(
         bp=None, p_noise: float = -1, num_devices: int = 1,
         prefetch: int = 2, seed: int = 0, cache_dir=None,
         shard_index: int = 0, num_shards: int = 1,
-        layout: str = 'graph',
+        layout: str = 'graph', graph_shard: int = 1,
         **kwargs) -> GraphDataLoader:
     """Build dataset + loader with the reference's flag surface
     (ref data_loaders.py:481-520)."""
@@ -344,4 +399,5 @@ def get_data_loader(
     return GraphDataLoader(
         ds, batch_size=batch_size, mode=mode, num_devices=num_devices,
         prefetch=prefetch, seed=seed, shard_index=shard_index,
-        num_shards=num_shards, layout=layout, paired_dataset=paired)
+        num_shards=num_shards, layout=layout, paired_dataset=paired,
+        graph_shard=graph_shard)

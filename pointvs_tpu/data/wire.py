@@ -38,33 +38,114 @@ class WireBatch(NamedTuple):
     strain: np.ndarray          # [B, 2] float32
 
 
-def compress(batch: GraphBatch) -> WireBatch:
-    """Host-side: GraphBatch (optionally with leading device axis) ->
-    WireBatch. recv_perm is NOT transferred: a stable on-device argsort
-    of the receivers rebuilds it for ~free, while its int32 bytes were
-    ~30% of the packed batch on the 13-31 MB/s tunnel."""
-    n_pad = batch.node_feats.shape[-2]
-    idx_t = np.uint16 if n_pad < 65536 else np.int32
-    edge_class = np.argmax(batch.edge_attr, axis=-1).astype(np.uint8)
-    edge_class = np.where(np.asarray(batch.edge_mask) > 0, edge_class,
-                          np.uint8(3))
-    feats = np.asarray(batch.node_feats)
+class WireBatchV2(NamedTuple):
+    """Second-generation wire format: the edge index arrays (the dominant
+    bytes) ship as per-node out-degree counts + per-edge receiver deltas.
+
+    Decode relies on collator invariants (data/buckets.py): senders are
+    sorted ascending with padding (== n_pad) last, graph_id is
+    non-decreasing, and receiver/sender of every edge are in the same
+    graph. ``compress`` verifies them and falls back to WireBatch v1
+    otherwise.
+
+    vs v1 on the bench batch (14.3k nodes / 156k edges): 1.11 MB -> 0.60
+    MB; on a 256-graph screening batch (>64k nodes, int32 indices in v1):
+    13.1 MB -> 4.7 MB.
+    """
+    node_feats_bits: np.ndarray  # [F, N/8] uint8 (as v1)
+    coords: np.ndarray          # [N, 3] float32
+    graph_counts: np.ndarray    # [B+1] int32 nodes per graph (+padding)
+    degrees: np.ndarray         # [N] uint16 out-degree per node
+    recv_delta: np.ndarray      # [E] int16 (receiver - sender)
+    edge_class_bits: np.ndarray  # [E/4] uint8, 2 bits/edge (3 = padding)
+    y: np.ndarray               # [B] / [B,3] float32
+    graph_mask: np.ndarray      # [B] float32
+    strain: np.ndarray          # [B, 2] float32
+
+
+def _pack_feature_bits(node_feats) -> np.ndarray:
+    feats = np.asarray(node_feats)
     if feats.max(initial=0) > 1 or feats.min(initial=0) < 0:
         raise ValueError('wire bit-packing assumes 0/1 node features '
                          '(one-hot + entity bit); got values outside '
                          '[0, 1]')
     # [.., N, F] -> [.., F, N] -> bit-pack the node axis (N % 8 == 0:
     # node buckets are multiples of 128).
-    bits = np.packbits(feats.astype(np.uint8).swapaxes(-1, -2),
+    return np.packbits(feats.astype(np.uint8).swapaxes(-1, -2),
                        axis=-1, bitorder='little')
+
+
+def _edge_class(batch: GraphBatch) -> np.ndarray:
+    edge_class = np.argmax(batch.edge_attr, axis=-1).astype(np.uint8)
+    return np.where(np.asarray(batch.edge_mask) > 0, edge_class,
+                    np.uint8(3))
+
+
+def _try_compress_v2(batch: GraphBatch):
+    """WireBatchV2 if the collator invariants hold, else None."""
+    n_pad = batch.node_feats.shape[-2]
+    e_pad = batch.senders.shape[-1]
+    num_graphs = batch.graph_mask.shape[-1]
+    if n_pad % 8 or e_pad % 4:
+        return None
+    senders = np.asarray(batch.senders, np.int64)
+    receivers = np.asarray(batch.receivers, np.int64)
+    graph_id = np.asarray(batch.graph_id, np.int64)
+    if not (np.all(senders[..., 1:] >= senders[..., :-1])
+            and np.all(graph_id[..., 1:] >= graph_id[..., :-1])):
+        return None
+    delta = receivers - senders
+    if delta.size and max(-delta.min(initial=0),
+                          delta.max(initial=0)) > 32767:
+        return None
+
+    lead = senders.shape[:-1]
+    s2 = senders.reshape(-1, e_pad)
+    g2 = graph_id.reshape(-1, n_pad)
+    degrees = np.empty((s2.shape[0], n_pad), np.uint16)
+    graph_counts = np.empty((g2.shape[0], num_graphs + 1), np.int32)
+    for d in range(s2.shape[0]):
+        deg = np.bincount(s2[d], minlength=n_pad + 1)[:n_pad]
+        if deg.max(initial=0) > 65535:
+            return None
+        degrees[d] = deg
+        graph_counts[d] = np.bincount(
+            np.minimum(g2[d], num_graphs), minlength=num_graphs + 1)
+
+    ec = _edge_class(batch).reshape(-1, e_pad // 4, 4).astype(np.uint8)
+    ec_bits = (ec[..., 0] | (ec[..., 1] << 2) | (ec[..., 2] << 4)
+               | (ec[..., 3] << 6))
+    return WireBatchV2(
+        node_feats_bits=_pack_feature_bits(batch.node_feats),
+        coords=np.asarray(batch.coords, np.float32),
+        graph_counts=graph_counts.reshape(lead + (num_graphs + 1,)),
+        degrees=degrees.reshape(lead + (n_pad,)),
+        recv_delta=delta.astype(np.int16),
+        edge_class_bits=ec_bits.reshape(lead + (e_pad // 4,)),
+        y=np.asarray(batch.y, np.float32),
+        graph_mask=np.asarray(batch.graph_mask, np.float32),
+        strain=np.asarray(batch.strain, np.float32))
+
+
+def compress(batch: GraphBatch):
+    """Host-side: GraphBatch (optionally with leading device axis) ->
+    WireBatchV2 (or v1 when the v2 invariants do not hold). recv_perm is
+    NOT transferred: a stable on-device argsort of the receivers rebuilds
+    it for ~free, while its int32 bytes were ~30% of the packed v1 batch
+    on the 13-31 MB/s tunnel."""
+    v2 = _try_compress_v2(batch)
+    if v2 is not None:
+        return v2
+    n_pad = batch.node_feats.shape[-2]
+    idx_t = np.uint16 if n_pad < 65536 else np.int32
     return WireBatch(
-        node_feats_bits=bits,
+        node_feats_bits=_pack_feature_bits(batch.node_feats),
         coords=np.asarray(batch.coords, np.float32),
         graph_id=np.minimum(np.asarray(batch.graph_id), 65535
                             ).astype(np.uint16),
         senders=np.asarray(batch.senders).astype(idx_t),
         receivers=np.asarray(batch.receivers).astype(idx_t),
-        edge_class=edge_class,
+        edge_class=_edge_class(batch),
         y=np.asarray(batch.y, np.float32),
         graph_mask=np.asarray(batch.graph_mask, np.float32),
         strain=np.asarray(batch.strain, np.float32))
@@ -87,15 +168,15 @@ def pack_stacked(wire: WireBatch) -> np.ndarray:
     return np.concatenate(parts, axis=1)
 
 
-def stacked_template(wire: WireBatch) -> WireBatch:
+def stacked_template(wire):
     """Per-device shape/dtype template of a [D, ...]-stacked WireBatch."""
     import jax
-    return WireBatch(*[jax.ShapeDtypeStruct(a.shape[1:], a.dtype)
-                       for a in wire])
+    return type(wire)(*[jax.ShapeDtypeStruct(a.shape[1:], a.dtype)
+                        for a in wire])
 
 
-def unpack(buf, template: WireBatch) -> WireBatch:
-    """Device-side (jit-traceable): uint8 buffer -> WireBatch, using a
+def unpack(buf, template):
+    """Device-side (jit-traceable): uint8 buffer -> WireBatch/V2, using a
     host-side template (numpy arrays or ShapeDtypeStructs) for the static
     shapes/dtypes."""
     import jax.lax
@@ -109,27 +190,80 @@ def unpack(buf, template: WireBatch) -> WireBatch:
             chunk.reshape(-1, np.dtype(arr.dtype).itemsize),
             jnp.dtype(arr.dtype)).reshape(arr.shape))
         offset += nbytes
-    return WireBatch(*fields)
+    return type(template)(*fields)
 
 
-def wire_template(wire: WireBatch) -> WireBatch:
+def wire_template(wire):
     """Shape/dtype template for unpack (host metadata, not transferred)."""
     import jax
-    return WireBatch(*[jax.ShapeDtypeStruct(a.shape, a.dtype)
-                       for a in wire])
+    return type(wire)(*[jax.ShapeDtypeStruct(a.shape, a.dtype)
+                        for a in wire])
 
 
-def decompress(wire: WireBatch) -> GraphBatch:
-    """Device-side (jit-traceable): WireBatch -> GraphBatch."""
+def _unpack_feature_bits(bits, n_pad):
+    """[.., F, N/8] little-endian bits -> [.., N, F] float32."""
+    import jax.numpy as jnp
+    shifts = jnp.arange(8, dtype=jnp.uint8)
+    b = (bits[..., None] >> shifts) & jnp.uint8(1)
+    return b.reshape(bits.shape[:-1] + (n_pad,)).swapaxes(
+        -1, -2).astype(jnp.float32)
+
+
+def _ids_from_counts(counts, total: int):
+    """Expand run-length counts into the (sorted) id array they encode:
+    ids[i] = index of the first cumulative bound > i. No scatters (XLA
+    scatter serialises on TPU); searchsorted is a vectorised binary
+    search."""
+    import jax.numpy as jnp
+    bounds = jnp.cumsum(counts.astype(jnp.int32))
+    return jnp.searchsorted(
+        bounds, jnp.arange(total, dtype=jnp.int32), side='right'
+    ).astype(jnp.int32)
+
+
+def _decompress_v2(wire: WireBatchV2) -> GraphBatch:
+    """Device-side (jit-traceable, per-device arrays): V2 -> GraphBatch."""
     import jax.numpy as jnp
     n_pad = wire.coords.shape[-2]
+    e_pad = wire.recv_delta.shape[-1]
     num_graphs = wire.graph_mask.shape[-1]
-    # Unpack [.., F, N/8] little-endian bits -> [.., N, F] float32.
-    b = wire.node_feats_bits
-    shifts = jnp.arange(8, dtype=jnp.uint8)
-    bits = (b[..., None] >> shifts) & jnp.uint8(1)
-    node_feats = bits.reshape(b.shape[:-1] + (n_pad,)).swapaxes(
-        -1, -2).astype(jnp.float32)
+    node_feats = _unpack_feature_bits(wire.node_feats_bits, n_pad)
+    graph_id = _ids_from_counts(wire.graph_counts, n_pad)
+    # Out-degrees of the n_pad real node slots; the remainder (e_pad -
+    # sum) are padding edges whose searchsorted index lands at n_pad.
+    senders = _ids_from_counts(wire.degrees, e_pad)
+    receivers = senders + wire.recv_delta.astype(jnp.int32)
+    edge_mask = (senders < n_pad).astype(jnp.float32)
+    node_mask = (graph_id < num_graphs).astype(jnp.float32)
+    shifts = jnp.arange(0, 8, 2, dtype=jnp.uint8)
+    ec = ((wire.edge_class_bits[..., None] >> shifts) & jnp.uint8(3)
+          ).reshape(wire.edge_class_bits.shape[:-1] + (e_pad,))
+    edge_attr = (ec[..., None] == jnp.arange(3, dtype=ec.dtype)
+                 ).astype(jnp.float32)
+    recv_perm = jnp.argsort(receivers, stable=True).astype(jnp.int32)
+    return GraphBatch(
+        node_feats=node_feats,
+        coords=wire.coords,
+        node_mask=node_mask,
+        graph_id=graph_id,
+        senders=senders,
+        receivers=receivers,
+        edge_attr=edge_attr,
+        edge_mask=edge_mask,
+        y=wire.y,
+        graph_mask=wire.graph_mask,
+        strain=wire.strain,
+        recv_perm=recv_perm)
+
+
+def decompress(wire) -> GraphBatch:
+    """Device-side (jit-traceable): WireBatch/V2 -> GraphBatch."""
+    import jax.numpy as jnp
+    if isinstance(wire, WireBatchV2):
+        return _decompress_v2(wire)
+    n_pad = wire.coords.shape[-2]
+    num_graphs = wire.graph_mask.shape[-1]
+    node_feats = _unpack_feature_bits(wire.node_feats_bits, n_pad)
     senders = wire.senders.astype(jnp.int32)
     receivers = wire.receivers.astype(jnp.int32)
     edge_mask = (senders < n_pad).astype(jnp.float32)

@@ -55,7 +55,10 @@ def build_loaders(args, num_devices: int):
         'prune': args.prune,
         'extended_atom_types': args.extended_atom_types,
         'include_strain_info': args.include_strain_info,
-        'num_devices': num_devices,
+        # Loader num_devices counts data-parallel ROWS: with
+        # --graph_shard the full mesh is (dp rows) x (gp edge shards).
+        'num_devices': num_devices // max(1, args.graph_shard),
+        'graph_shard': args.graph_shard,
         'prefetch': args.prefetch,
         'seed': args.seed,
         'cache_dir': args.cache_dir,
@@ -146,6 +149,14 @@ def main(argv=None):
     log = get_logger('PointVS-TPU', save_path)
 
     num_devices = args.num_devices or len(jax.devices())
+    if args.graph_shard > 1:
+        if num_devices % args.graph_shard:
+            raise SystemExit(
+                f'--num_devices {num_devices} must be divisible by '
+                f'--graph_shard {args.graph_shard}')
+        if args.model not in ('egnn', 'lucid', 'en_transformer'):
+            raise SystemExit('--graph_shard supports the egnn, lucid and '
+                             'en_transformer models')
 
     args.hostname = socket.gethostname()
     args.slurm_jobid = os.getenv('SLURM_JOBID')
@@ -173,7 +184,7 @@ def main(argv=None):
         only_save_best_models=args.only_save_best_models,
         regression_loss=args.regression_loss, optimiser=args.optimiser,
         num_devices=num_devices, seed=args.seed, profile=args.profile,
-        **model_kwargs)
+        graph_shard=args.graph_shard, **model_kwargs)
 
     if args.load_weights is not None:
         trainer.load_weights(args.load_weights)

@@ -63,6 +63,10 @@ def load_model(weights_path, silent: bool = False,
         regression_loss=cmd_args.get('regression_loss', 'mse'),
         silent=not init_path,
         num_devices=num_devices,
+        # Edge sharding only matters for continued training (resume):
+        # params are sharding-independent, so plain inference loads the
+        # checkpoint on an ordinary dp mesh.
+        graph_shard=(cmd_args.get('graph_shard', 1) if init_path else 1),
         **model_kwargs)
     trainer.load_weights(ckpt, silent=silent)
     return trainer, model_kwargs, cmd_args

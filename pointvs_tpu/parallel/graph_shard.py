@@ -25,11 +25,18 @@ from pointvs_tpu.data.buckets import GraphBatch, GraphSample, \
     pad_graphs_to_batch
 
 
-def shard_graph_batch(sample: GraphSample, num_devices: int) -> GraphBatch:
-    """One GraphSample -> GraphBatch whose edge arrays are [D, E/D, ...]
+def shard_graph_batch(samples, num_devices: int, num_graphs=None,
+                      n_pad=None, e_pad=None) -> GraphBatch:
+    """GraphSample(s) -> GraphBatch whose edge arrays are [D, E/D, ...]
     shards (each internally sender-sorted with a local recv_perm) and
-    whose node/graph arrays are [D, ...] replicated copies."""
-    base = pad_graphs_to_batch([sample], num_graphs=1)
+    whose node/graph arrays are [D, ...] replicated copies.
+
+    Accepts one sample (the original huge-complex use) or a list (the CLI
+    training path: a whole per-dp-row sub-batch edge-sharded over gp)."""
+    if isinstance(samples, GraphSample):
+        samples = [samples]
+    base = pad_graphs_to_batch(samples, num_graphs=num_graphs,
+                               n_pad=n_pad, e_pad=e_pad)
     e_pad = base.num_edges
     per_dev = -(-e_pad // num_devices)
 
@@ -149,17 +156,49 @@ def make_sharded_train_step(model, tx, model_task: str,
     return jax.jit(sharded, donate_argnums=(0, 1))
 
 
-def stack_2d_batches(samples, n_gp: int):
-    """len(samples) == n_dp GraphSamples -> GraphBatch pytree of
-    [n_dp, n_gp, ...] arrays: one graph per dp row, its edges split over
-    the gp columns (node arrays replicated along gp)."""
-    per_dp = [shard_graph_batch(s, n_gp) for s in samples]
+def stack_2d_batches(rows, n_gp: int, num_graphs=None, n_pad=None,
+                     e_pad=None):
+    """len(rows) == n_dp GraphSamples (or lists of GraphSamples) ->
+    GraphBatch pytree of [n_dp, n_gp, ...] arrays: one (sub-)batch per dp
+    row, its edges split over the gp columns (node arrays replicated
+    along gp). Pass num_graphs/n_pad/e_pad so every row pads to the same
+    static shape (required for the stack)."""
+    per_dp = [shard_graph_batch(r, n_gp, num_graphs=num_graphs,
+                                n_pad=n_pad, e_pad=e_pad) for r in rows]
     return jax.tree.map(lambda *xs: np.stack(xs), *per_dp)
+
+
+def make_eval_step_2d(model, model_task, mesh: Mesh, dp_axis: str = 'dp',
+                      gp_axis: str = 'gp',
+                      multitask: bool = False) -> Callable:
+    """Eval over the (dp x gp) mesh: jitted (params, batch[dp, gp, ...])
+    -> logits [dp, B_row, out]. Each dp row scores its own sub-batch with
+    edges split over gp; the model's aggregation psums make every gp
+    column's logits the full-graph values, so the gp axis is dropped from
+    the output (check_rep=False: replication is guaranteed by the psum
+    algebra, pinned by tests/test_graph_shard.py).
+
+    The model must be constructed with ``edge_shard_axis=gp_axis``.
+    """
+    apply_kwargs = {'task': model_task} if (multitask and model_task) else {}
+
+    def device_eval(params, batch):
+        batch = jax.tree.map(lambda x: x[0, 0], batch)
+        out = model.apply(params, batch, train=False, **apply_kwargs)
+        return out[None]
+
+    sharded = shard_map(
+        device_eval, mesh=mesh,
+        in_specs=(P(), P(dp_axis, gp_axis)),
+        out_specs=P(dp_axis),
+        check_rep=False)
+    return jax.jit(sharded)
 
 
 def make_train_step_2d(model, tx, model_task: str, regression_loss: str,
                        mesh: Mesh, dp_axis: str = 'dp',
-                       gp_axis: str = 'gp') -> Callable:
+                       gp_axis: str = 'gp',
+                       multitask: bool = False) -> Callable:
     """Combined data-parallel x edge-parallel training over a 2-D mesh
     (mesh.get_mesh_2d): each dp row trains on its own graph, whose edges
     are split over the gp columns.
@@ -176,6 +215,8 @@ def make_train_step_2d(model, tx, model_task: str, regression_loss: str,
 
     from pointvs_tpu.training.losses import loss_fn
 
+    apply_kwargs = {'task': model_task} if multitask else {}
+
     def device_step(params, opt_state, batch, lr, rng):
         batch = jax.tree.map(lambda x: x[0, 0], batch)
         # One dropout stream per dp row, IDENTICAL across gp columns:
@@ -185,7 +226,7 @@ def make_train_step_2d(model, tx, model_task: str, regression_loss: str,
 
         def sum_loss(p):
             logits = model.apply(p, batch, train=True,
-                                 rngs={'dropout': rng})
+                                 rngs={'dropout': rng}, **apply_kwargs)
             return loss_fn(logits, batch, model_task, regression_loss)
 
         (loss_sum, weight), grads = jax.value_and_grad(

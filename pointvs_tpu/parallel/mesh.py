@@ -43,7 +43,11 @@ def replicate(tree, mesh: Mesh):
     return jax.device_put(tree, sharding)
 
 
-def shard_batch(batch, mesh: Mesh, axis_name: str = 'dp'):
-    """Place a [D, ...]-stacked GraphBatch sharded over the mesh axis."""
-    sharding = NamedSharding(mesh, P(axis_name))
+def shard_batch(batch, mesh: Mesh, axis_name='dp'):
+    """Place a [D, ...]-stacked GraphBatch sharded over the mesh axis
+    (or a [D1, D2, ...]-stacked one over a tuple of axes)."""
+    if isinstance(axis_name, (tuple, list)):
+        sharding = NamedSharding(mesh, P(*axis_name))
+    else:
+        sharding = NamedSharding(mesh, P(axis_name))
     return jax.device_put(batch, sharding)

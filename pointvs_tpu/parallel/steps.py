@@ -28,16 +28,17 @@ def _squeeze_leading(tree):
 
 
 def _as_graph_batch(batch):
-    """Accept either a full GraphBatch or the compact WireBatch."""
-    from pointvs_tpu.data.wire import WireBatch, decompress
-    if isinstance(batch, WireBatch):
+    """Accept either a full GraphBatch or a compact WireBatch/V2."""
+    from pointvs_tpu.data.wire import WireBatch, WireBatchV2, decompress
+    if isinstance(batch, (WireBatch, WireBatchV2)):
         return decompress(batch)
     return batch
 
 
 def make_train_step(model, tx, model_task: str, regression_loss: str,
                     mesh: Mesh, axis_name: str = 'dp',
-                    multitask: bool = False) -> Callable:
+                    multitask: bool = False,
+                    with_metrics: bool = False) -> Callable:
     """Returns step(params, opt_state, batch, lr, rng) ->
     (params, opt_state, loss).
 
@@ -45,6 +46,12 @@ def make_train_step(model, tx, model_task: str, regression_loss: str,
     packed single-buffer tuple ('packed', uint8[D, nbytes], template) from
     data/wire.pack_stacked — one H2D transfer per step instead of one per
     array (round trips dominate on tunneled backends).
+
+    With ``with_metrics`` the loss output becomes a [5]-vector
+    ``[loss, active_pred_sum, active_count, decoy_pred_sum, decoy_count]``
+    so the engine can log the reference's per-batch mean active/decoy
+    training predictions (ref point_neural_network_base.py:387-415) from
+    the same deferred D2H fetch as the loss.
     """
 
     apply_kwargs = {'task': model_task} if multitask else {}
@@ -52,17 +59,32 @@ def make_train_step(model, tx, model_task: str, regression_loss: str,
     def local_loss(params, batch, rng):
         logits = model.apply(params, batch, train=True,
                              rngs={'dropout': rng}, **apply_kwargs)
-        return loss_fn(logits, batch, model_task, regression_loss)
+        s, w = loss_fn(logits, batch, model_task, regression_loss)
+        return s, (w, logits)
+
+    def _pred_metrics(logits, batch):
+        """Per-device sums for mean active/decoy train predictions."""
+        mask = batch.graph_mask.reshape(-1)
+        if model_task == 'classification':
+            preds = jax.nn.sigmoid(logits.reshape(-1))
+            y = batch.y.reshape(-1)
+            act = (y > 0.5).astype(preds.dtype) * mask
+            dec = (y < 0.5).astype(preds.dtype) * mask
+        else:
+            # Reference logs sigmoid'd mean prediction over labelled rows
+            # for regression tasks too (ref :388-409, is_label branch).
+            preds = jax.nn.sigmoid(logits.reshape(mask.shape[0], -1)
+                                   ).mean(axis=-1)
+            act = mask
+            dec = jnp.zeros_like(mask)
+        return jnp.stack([jnp.sum(preds * act), jnp.sum(act),
+                          jnp.sum(preds * dec), jnp.sum(dec)])
 
     def device_step_core(params, opt_state, batch, lr, rng):
         rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
 
-        def sum_loss(p):
-            s, w = local_loss(p, batch, rng)
-            return s, w
-
-        (loss_sum, weight), grads = jax.value_and_grad(
-            sum_loss, has_aux=True)(params)
+        (loss_sum, (weight, logits)), grads = jax.value_and_grad(
+            local_loss, has_aux=True)(params, batch, rng)
         grads = jax.lax.psum(grads, axis_name)
         loss_sum = jax.lax.psum(loss_sum, axis_name)
         weight = jnp.maximum(jax.lax.psum(weight, axis_name), 1.0)
@@ -72,6 +94,9 @@ def make_train_step(model, tx, model_task: str, regression_loss: str,
         updates = jax.tree.map(lambda u: -lr * u, updates)
         params = jax.tree.map(lambda p, u: p + u, params, updates)
         loss = loss_sum / weight
+        if with_metrics:
+            metrics = jax.lax.psum(_pred_metrics(logits, batch), axis_name)
+            loss = jnp.concatenate([loss[None], metrics])
         return params, opt_state, loss
 
     def device_step(params, opt_state, batch, lr, rng):
@@ -88,7 +113,8 @@ def make_train_step(model, tx, model_task: str, regression_loss: str,
     packed_cache = {}
 
     def packed_step_for(template):
-        key = tuple((tuple(a.shape), str(a.dtype)) for a in template)
+        key = (type(template).__name__,) + tuple(
+            (tuple(a.shape), str(a.dtype)) for a in template)
         if key not in packed_cache:
             from pointvs_tpu.data.wire import decompress, unpack
 
@@ -160,7 +186,8 @@ def make_eval_step(model, model_task: Optional[str], mesh: Mesh,
     packed_cache = {}
 
     def packed_eval_for(template):
-        key = tuple((tuple(a.shape), str(a.dtype)) for a in template)
+        key = (type(template).__name__,) + tuple(
+            (tuple(a.shape), str(a.dtype)) for a in template)
         if key not in packed_cache:
             from pointvs_tpu.data.wire import decompress, unpack
 

@@ -119,12 +119,22 @@ def screen(model_path, receptor, ligands, output='screen_results.csv',
              f'(max batch {max_n}/{max_e})')
 
     eval_fn = trainer._eval_step()
+    # Pipeline: collation + wire packing + async device_put run in the
+    # loader's producer thread; the scoring loop only dispatches eval
+    # steps and drains logits AFTER all dispatches, so H2D transfers and
+    # device compute overlap across the whole library (fencing per batch
+    # had the device >90% idle).
+    dl.transfer_fn = trainer._to_device
+    dl.prefetch = max(dl.prefetch, 3)
     rows = []
     start = time.perf_counter()
+    in_flight = []
     for batch, meta in dl:
-        logits = eval_fn(trainer.params, trainer._to_device(batch))
-        logits = np.asarray(logits).reshape(-1, np.asarray(logits).shape[-1])
-        mask = np.asarray(batch.graph_mask).reshape(-1) > 0
+        in_flight.append((eval_fn(trainer.params, batch), meta))
+    for dev_logits, meta in in_flight:
+        logits = np.asarray(dev_logits)
+        logits = logits.reshape(-1, logits.shape[-1])
+        mask = meta.graph_mask.reshape(-1) > 0
         scores = logits[mask]
         if trainer.model_task == 'classification':
             scores = 1 / (1 + np.exp(-scores[:, 0]))

@@ -169,7 +169,13 @@ def load_flax_params(net: RefEGNN, flax_params: dict) -> RefEGNN:
     p = flax_params['params']
     _copy_linear(net.embed, p['input_embed']['Dense_0'])
     _copy_linear(net.head, p['head']['TorchLinear_0']['Dense_0'])
-    for i, layer in enumerate(net.layers):
+    _copy_satorras_layers(net.layers, p)
+    return net
+
+
+def _copy_satorras_layers(layers, p: dict):
+    """Copy flax egnn_layer_{i} trees into RefEGNNLayer modules."""
+    for i, layer in enumerate(layers):
         lp = p[f'egnn_layer_{i}']
         _copy_linear(layer.edge_mlp[0],
                      lp['edge_mlp']['TorchLinear_0']['Dense_0'])
@@ -195,6 +201,277 @@ def load_flax_params(net: RefEGNN, flax_params: dict) -> RefEGNN:
         if layer.node_attention:
             _copy_linear(layer.node_att_mlp[0],
                          lp['node_att_mlp']['Dense_0'])
+
+
+# --------------------------------------------------------------------- #
+# Lucid ("EGNN_Sparse"/PygLucidEGNN) reference math.
+# Faithful to /root/reference/point_vs/models/geometric/egnn_lucid.py
+# (EGNN_Sparse :17-205, PygLucidEGNN.build_net rewiring :211-288) plus the
+# two third-party kernels it imports from egnn_pytorch (fourier_encode_dist,
+# CoorsNorm) and torch_geometric (LayerNorm in its batched "graph" mode).
+# pyg MessagePassing flow is source_to_target: x_i/aggregation index is
+# edge_index[1] (targets), x_j is edge_index[0]; aggr='mean' (ref :233).
+# --------------------------------------------------------------------- #
+
+
+def _fourier_encode_dist(x: torch.Tensor, num_encodings: int) -> torch.Tensor:
+    """egnn_pytorch.fourier_encode_dist with include_self=True:
+    [E, 1] -> [E, 2*num_encodings + 1] = [sin(x/2^i), cos(x/2^i), x]."""
+    scales = 2.0 ** torch.arange(num_encodings, dtype=x.dtype)
+    scaled = x / scales  # [E, F] via broadcast of [E, 1]
+    return torch.cat([scaled.sin(), scaled.cos(), x], dim=-1)
+
+
+class RefCoorsNorm(nn.Module):
+    """egnn_pytorch.CoorsNorm: unit vectors * learnable scale
+    (scale_init=1e-2 per PygLucidEGNN.build_net, ref egnn_lucid.py:230)."""
+
+    def __init__(self, scale_init: float = 1e-2, eps: float = 1e-8):
+        super().__init__()
+        self.scale = nn.Parameter(torch.full((1,), scale_init))
+        self.eps = eps
+
+    def forward(self, coors):
+        norm = coors.norm(dim=-1, keepdim=True).clamp(min=self.eps)
+        return coors / norm * self.scale
+
+
+class RefPygGraphLayerNorm(nn.Module):
+    """torch_geometric.nn.norm.LayerNorm as the lucid layer calls it —
+    WITH the batch vector (ref egnn_lucid.py:194-195): scalar mean/var per
+    graph over nodes x channels, then per-channel affine."""
+
+    def __init__(self, k: int, eps: float = 1e-5):
+        super().__init__()
+        self.weight = nn.Parameter(torch.ones(k))
+        self.bias = nn.Parameter(torch.zeros(k))
+        self.eps = eps
+
+    def forward(self, x, batch, n_graphs):
+        count = _segment_sum(torch.ones(len(batch), 1), batch, n_graphs)
+        norm = (count.clamp(min=1) * x.size(-1))
+        mean = _segment_sum(x.sum(-1, keepdim=True), batch, n_graphs) / norm
+        x = x - mean[batch]
+        var = _segment_sum((x * x).sum(-1, keepdim=True), batch,
+                           n_graphs) / norm
+        out = x / (var + self.eps).sqrt()[batch]
+        return out * self.weight + self.bias
+
+
+class RefLucidLayer(nn.Module):
+    """One EGNN_Sparse layer after PygLucidEGNN.build_net rewiring (ref
+    egnn_lucid.py:211-288; eval mode, so the shared Dropout is identity).
+    The ctor's coor_weights_clamp_value=2.0 is dead code — EGNN_Sparse
+    overwrites it with None (ref :58) — so no clamp is applied."""
+
+    def __init__(self, k: int, edge_attr_dim: int = 3,
+                 fourier_features: int = 0, soft_edge: bool = False,
+                 thick_attention: bool = False, norm_feats: bool = False,
+                 norm_coors: bool = False, tanh: bool = True,
+                 thin_mlps: bool = False, graphnorm: bool = False,
+                 node_final_act: bool = False):
+        super().__init__()
+        self.fourier_features = fourier_features
+        self.soft_edge = soft_edge
+        self.norm_feats = norm_feats
+        self.norm_coors = norm_coors
+        eid = (fourier_features * 2) + edge_attr_dim + 1 + k * 2
+        self.edge_mlp = nn.Sequential(
+            nn.Linear(eid, eid * 2), nn.SiLU(), nn.Linear(eid * 2, k),
+            nn.SiLU())
+        if soft_edge:
+            if thick_attention:   # ref :244-250
+                self.edge_weight = nn.Sequential(
+                    nn.Linear(k, k), nn.SiLU(), nn.Linear(k, 1),
+                    nn.Sigmoid())
+            else:                 # ref :75-77
+                self.edge_weight = nn.Sequential(
+                    nn.Linear(k, 1), nn.Sigmoid())
+        if norm_feats:
+            self.node_norm = RefPygGraphLayerNorm(k)
+        if norm_coors:
+            self.coors_norm = RefCoorsNorm()
+        gn_dim = k if thin_mlps else k * 2
+        node_gn = RefGraphNorm(gn_dim) if graphnorm else nn.Identity()
+        if thin_mlps:             # ref :252-263
+            self.node_mlp = nn.Sequential(
+                nn.Linear(2 * k, k), node_gn,
+                nn.SiLU() if node_final_act else nn.Identity())
+            self.coors_mlp = nn.Sequential(
+                nn.Linear(k, 1), nn.Tanh() if tanh else nn.Identity())
+        else:                     # ref :264-283
+            self.node_mlp = nn.Sequential(
+                nn.Linear(2 * k, 2 * k), node_gn, nn.SiLU(),
+                nn.Linear(2 * k, k),
+                nn.SiLU() if node_final_act else nn.Identity())
+            self.coors_mlp = nn.Sequential(
+                nn.Linear(k, 4 * k), nn.SiLU(), nn.Linear(4 * k, 1),
+                nn.Tanh() if tanh else nn.Identity())
+
+    def forward(self, h, e0, e1, eattr, batch, n_graphs):
+        coors, feats = h[:, :3], h[:, 3:]
+        n = feats.shape[0]
+        rel_coors = coors[e0] - coors[e1]          # ref :126
+        rel_dist = (rel_coors ** 2).sum(-1, keepdim=True)
+        if self.fourier_features > 0:
+            rel_dist = _fourier_encode_dist(rel_dist, self.fourier_features)
+        ea = torch.cat([eattr, rel_dist], dim=-1)
+        # message (ref :144-146): [x_i (targets e1), x_j (sources e0), ea]
+        m_ij = self.edge_mlp(torch.cat([feats[e1], feats[e0], ea], dim=-1))
+        # coords update BEFORE soft-edge weighting (ref :168-184)
+        coor_wij = self.coors_mlp(m_ij)
+        if self.norm_coors:
+            rel_coors = self.coors_norm(rel_coors)
+        coors_out = coors + _segment_mean(coor_wij * rel_coors, e1, n)
+        if self.soft_edge:         # ref :189-191
+            m_ij = m_ij * self.edge_weight(m_ij)
+        m_i = _segment_mean(m_ij, e1, n)           # aggr='mean', ref :233
+        hidden = (self.node_norm(feats, batch, n_graphs)
+                  if self.norm_feats else feats)
+        hidden_out = feats + self.node_mlp(torch.cat([hidden, m_i], dim=-1))
+        return torch.cat([coors_out, hidden_out], dim=-1)
+
+
+class RefLucidEGNN(nn.Module):
+    """Reference PygLucidEGNN (ref egnn_lucid.py:211-294): PygLinearPass
+    embedding on features (coords carried in the first 3 columns), N
+    rewired EGNN_Sparse layers, global mean pool + linear head."""
+
+    def __init__(self, dim_input: int, k: int, dim_output: int,
+                 num_layers: int, **layer_kwargs):
+        super().__init__()
+        self.embed = nn.Linear(dim_input, k)
+        self.layers = nn.ModuleList(
+            [RefLucidLayer(k, **layer_kwargs) for _ in range(num_layers)])
+        self.head = nn.Linear(k, dim_output)
+
+    def forward(self, feats, coords, e0, e1, eattr, graph_id, n_graphs):
+        h = torch.cat([coords, self.embed(feats)], dim=-1)
+        for layer in self.layers:
+            h = layer(h, e0, e1, eattr, graph_id, n_graphs)
+        pooled = _segment_mean(h[:, 3:], graph_id, n_graphs)
+        return self.head(pooled)
+
+
+def load_flax_lucid_params(net: RefLucidEGNN, flax_params: dict
+                           ) -> RefLucidEGNN:
+    """Copy a flax LucidEGNN param tree (scan_layers=False layout) into a
+    RefLucidEGNN with the same architecture flags."""
+    p = flax_params['params']
+    _copy_linear(net.embed, p['input_embed'])
+    _copy_linear(net.head, p['head'])
+    for i, layer in enumerate(net.layers):
+        lp = p[f'lucid_layer_{i}']
+        _copy_linear(layer.edge_mlp[0],
+                     lp['edge_mlp']['TorchLinear_0']['Dense_0'])
+        _copy_linear(layer.edge_mlp[2],
+                     lp['edge_mlp']['TorchLinear_1']['Dense_0'])
+        if layer.soft_edge:
+            wp = lp['edge_weight']
+            if isinstance(layer.edge_weight[1], nn.SiLU):  # thick
+                _copy_linear(layer.edge_weight[0],
+                             wp['TorchLinear_0']['Dense_0'])
+                _copy_linear(layer.edge_weight[2],
+                             wp['TorchLinear_1']['Dense_0'])
+            else:
+                _copy_linear(layer.edge_weight[0],
+                             wp['TorchLinear_0']['Dense_0'])
+        if layer.norm_feats:
+            with torch.no_grad():
+                layer.node_norm.weight.copy_(torch.tensor(
+                    np.asarray(lp['node_norm']['weight'])))
+                layer.node_norm.bias.copy_(torch.tensor(
+                    np.asarray(lp['node_norm']['bias'])))
+        if layer.norm_coors:
+            with torch.no_grad():
+                layer.coors_norm.scale.copy_(torch.tensor(
+                    np.asarray(lp['coors_norm']['scale'])))
+        _copy_linear(layer.node_mlp[0], lp['node_lin1'])
+        if isinstance(layer.node_mlp[1], RefGraphNorm):
+            gn = lp['node_graphnorm']
+            with torch.no_grad():
+                layer.node_mlp[1].weight.copy_(
+                    torch.tensor(np.asarray(gn['weight'])))
+                layer.node_mlp[1].bias.copy_(
+                    torch.tensor(np.asarray(gn['bias'])))
+                layer.node_mlp[1].mean_scale.copy_(
+                    torch.tensor(np.asarray(gn['mean_scale'])))
+        if len(layer.node_mlp) > 3:   # thick: second linear at index 3
+            _copy_linear(layer.node_mlp[3], lp['node_lin2'])
+        cp = lp['coors_mlp']
+        _copy_linear(layer.coors_mlp[0], cp['TorchLinear_0']['Dense_0'])
+        if len(layer.coors_mlp) > 2:  # thick: 2-linear coors MLP
+            _copy_linear(layer.coors_mlp[2],
+                         cp['TorchLinear_1']['Dense_0'])
+    return net
+
+
+# --------------------------------------------------------------------- #
+# Multitask reference math (egnn_multitask.py:11-166): satorras trunk with
+# per-layer first/final-only attention switches + two heads selected by
+# model_task at forward time.
+# --------------------------------------------------------------------- #
+
+
+class RefMultitaskEGNN(nn.Module):
+    def __init__(self, dim_input: int, k: int, dim_output: int,
+                 num_layers: int, edge_attention: bool = False,
+                 node_attention: bool = False,
+                 edge_attention_first_only: bool = False,
+                 edge_attention_final_only: bool = False,
+                 node_attention_first_only: bool = False,
+                 node_attention_final_only: bool = False,
+                 final_softplus: bool = False, **layer_kwargs):
+        super().__init__()
+
+        def switch(enabled, first_only, final_only, i):
+            if not enabled:
+                return False
+            if not first_only and not final_only:
+                return True
+            return ((first_only and i == 0)
+                    or (final_only and i == num_layers - 1))
+
+        self.embed = nn.Linear(dim_input, k)
+        self.layers = nn.ModuleList([
+            RefEGNNLayer(
+                k,
+                edge_attention=switch(edge_attention,
+                                      edge_attention_first_only,
+                                      edge_attention_final_only, i),
+                node_attention=switch(node_attention,
+                                      node_attention_first_only,
+                                      node_attention_final_only, i),
+                **layer_kwargs)
+            for i in range(num_layers)])
+        # ref :141-146: pose head Linear(k, 1); affinity head
+        # Linear(k, dim_output) + Softplus/ReLU.
+        self.head_pose = nn.Linear(k, 1)
+        self.head_affinity = nn.Sequential(
+            nn.Linear(k, dim_output),
+            nn.Softplus() if final_softplus else nn.ReLU())
+
+    def forward(self, feats, coords, rows, cols, eattr, graph_id, n_graphs,
+                task: str = 'classification'):
+        h = self.embed(feats)
+        c = coords
+        for layer in self.layers:
+            h, c = layer(h, c, rows, cols, eattr)
+        pooled = _segment_mean(h, graph_id, n_graphs)
+        if 'classification' in task:
+            return self.head_pose(pooled)
+        return self.head_affinity(pooled)
+
+
+def load_flax_multitask_params(net: RefMultitaskEGNN, flax_params: dict
+                               ) -> RefMultitaskEGNN:
+    p = flax_params['params']
+    _copy_linear(net.embed, p['input_embed']['Dense_0'])
+    _copy_linear(net.head_pose,
+                 p['head_pose']['TorchLinear_0']['Dense_0'])
+    _copy_linear(net.head_affinity[0],
+                 p['head_affinity']['TorchLinear_0']['Dense_0'])
+    _copy_satorras_layers(net.layers, p)
     return net
 
 

@@ -120,7 +120,8 @@ class Trainer:
                  only_save_best_models: bool = False,
                  optimiser: str = 'adam', regression_loss: str = 'mse',
                  num_devices: Optional[int] = None, seed: int = 2,
-                 wandb_dir=None, profile: bool = False, **model_kwargs):
+                 wandb_dir=None, profile: bool = False,
+                 graph_shard: int = 1, **model_kwargs):
         assert not (use_1cycle and warm_restarts), \
             '1cycle and warm restarts are mutually exclusive'
         from pointvs_tpu.compile_cache import \
@@ -153,17 +154,43 @@ class Trainer:
         self.log_interval = 10
         self.decoy_mean_pred, self.active_mean_pred = 0.5, 0.5
 
-        self.mesh = get_mesh(num_devices)
-        self.num_devices = self.mesh.devices.size
+        # Edge parallelism (--graph_shard): a 2-D (dp x gp) mesh where
+        # each dp row trains its own sub-batch with the edge arrays split
+        # over the gp columns (parallel/graph_shard.py). For huge
+        # complexes whose edge tensors exceed one device's memory.
+        self.graph_shard = max(1, graph_shard)
+        if self.graph_shard > 1:
+            total = num_devices or len(jax.devices())
+            if total % self.graph_shard:
+                raise ValueError(
+                    f'num_devices {total} not divisible by graph_shard '
+                    f'{self.graph_shard}')
+            from pointvs_tpu.parallel.mesh import get_mesh_2d
+            self.mesh = get_mesh_2d(total // self.graph_shard,
+                                    self.graph_shard)
+            self.num_devices = total
+        else:
+            self.mesh = get_mesh(num_devices)
+            self.num_devices = self.mesh.devices.size
 
-        self.model = build_model(model_name, **model_kwargs)
+        build_kwargs = dict(model_kwargs)
+        if self.graph_shard > 1:
+            # The model's aggregations psum over 'gp' inside the sharded
+            # steps. Kept OUT of self.model_kwargs so model_kwargs.yaml /
+            # checkpoints stay loadable on a single device.
+            build_kwargs['edge_shard_axis'] = 'gp'
+        self.model = build_model(model_name, **build_kwargs)
         self.input_kind = model_input_kind(model_name)
         self.rng = jax.random.PRNGKey(seed)
         dim_input = model_kwargs.get('dim_input', 12)
         init_rng, self.rng = jax.random.split(self.rng)
         # jit the init: eager init dispatches op-by-op, which is minutes
-        # over a remote-tunnel TPU backend.
-        params = jax.jit(self.model.init)(
+        # over a remote-tunnel TPU backend. An edge-sharded model's psums
+        # reference a mesh axis only bound inside shard_map, so init runs
+        # on an unsharded clone (param shapes are sharding-independent).
+        init_model = (self.model.clone(edge_shard_axis=None)
+                      if self.graph_shard > 1 else self.model)
+        params = jax.jit(init_model.init)(
             {'params': init_rng, 'dropout': init_rng},
             _dummy_input(self.input_kind, dim_input))
         self.tx = build_optimiser(optimiser, weight_decay)
@@ -208,22 +235,45 @@ class Trainer:
     def _train_step(self):
         key = self.model_task
         if key not in self._train_steps:
-            self._train_steps[key] = make_train_step(
-                self.model, self.tx, key, self.regression_loss, self.mesh,
-                multitask=self.multitask)
+            if self.graph_shard > 1:
+                from pointvs_tpu.parallel.graph_shard import \
+                    make_train_step_2d
+                self._train_steps[key] = make_train_step_2d(
+                    self.model, self.tx, key, self.regression_loss,
+                    self.mesh, multitask=self.multitask)
+            else:
+                self._train_steps[key] = make_train_step(
+                    self.model, self.tx, key, self.regression_loss,
+                    self.mesh, multitask=self.multitask, with_metrics=True)
         return self._train_steps[key]
 
     def _eval_step(self):
         key = self.model_task
         if key not in self._eval_steps:
-            self._eval_steps[key] = make_eval_step(
-                self.model, key, self.mesh, multitask=self.multitask)
+            if self.graph_shard > 1:
+                from pointvs_tpu.parallel.graph_shard import \
+                    make_eval_step_2d
+                self._eval_steps[key] = make_eval_step_2d(
+                    self.model, key, self.mesh, multitask=self.multitask)
+            else:
+                self._eval_steps[key] = make_eval_step(
+                    self.model, key, self.mesh, multitask=self.multitask)
         return self._eval_steps[key]
 
     def _to_device(self, batch):
         """Compress + pack the batch into one device buffer (one H2D
         transfer; see data/wire.py). Non-GraphBatch pytrees (SiamesePair,
-        DenseBatch) ship as plain sharded arrays."""
+        DenseBatch) ship as plain sharded arrays. Idempotent: batches the
+        loader already transferred (via its producer-thread transfer_fn)
+        pass through untouched."""
+        if isinstance(batch, tuple) and len(batch) == 3 \
+                and batch[0] == 'packed':
+            return batch
+        if self.graph_shard > 1:
+            # [dp, gp, ...] pytree for the 2-D steps (no wire packing:
+            # the graph-shard regime is device-memory-bound, not
+            # H2D-bound, and the 2-D steps take raw GraphBatches).
+            return shard_batch(batch, self.mesh, ('dp', 'gp'))
         if not isinstance(batch, GraphBatch):
             return shard_batch(batch, self.mesh)
         from pointvs_tpu.data.wire import (compress, pack_stacked,
@@ -249,6 +299,10 @@ class Trainer:
         """Epoch/batch loop (ref train_model :136-205)."""
         init_epoch, start = self.training_setup(data_loader, epochs)
         step_fn = self._train_step()
+        # Ship batches from the loader's producer thread so collation +
+        # wire packing + the async H2D overlap device compute.
+        if hasattr(data_loader, 'transfer_fn'):
+            data_loader.transfer_fn = self._to_device
         steps_per_epoch = len(data_loader)
         total_steps = max(1, (epochs - init_epoch) * steps_per_epoch)
         done_steps = 0
@@ -283,7 +337,7 @@ class Trainer:
                 lr_now = self.scheduler(sched_step)
                 step_rng = jax.random.fold_in(self.rng, self.global_iter)
                 batch_dev = self._to_device(batch)
-                self.params, self.opt_state, loss = step_fn(
+                self.params, self.opt_state, stats = step_fn(
                     self.params, self.opt_state, batch_dev,
                     jnp.float32(lr_now), step_rng)
                 sched_step += 1
@@ -292,26 +346,43 @@ class Trainer:
 
                 progress.update(epoch_task, advance=1.0)
                 progress.update(total_task, advance=1.0)
-                # Defer the D2H loss fetch to the log interval: a per-step
+                # Defer the D2H stats fetch to the log interval: a per-step
                 # fetch serialises the pipeline (tens of ms on tunneled
                 # backends). The NaN guard fires within log_interval steps.
-                pending_losses.append((batch_idx, loss))
+                # stats = [loss, act_sum, act_cnt, dec_sum, dec_cnt].
+                pending_losses.append((batch_idx, stats))
                 if (not batch_idx % self.log_interval
                         or batch_idx == steps_per_epoch - 1):
-                    for p_idx, p_loss in pending_losses:
-                        loss_val = float(p_loss)
+                    for p_idx, p_stats in pending_losses:
+                        vec = np.asarray(p_stats).reshape(-1)
+                        loss_val = float(vec[0])
                         losses.append(loss_val)
                         if math.isnan(loss_val):
                             LOG.error('We have hit a NaN loss value.')
                             raise FloatingPointError(
                                 f'NaN loss at epoch {epoch_idx} batch '
                                 f'{p_idx}')
+                        if len(vec) >= 5:
+                            if vec[2] > 0:
+                                self.active_mean_pred = float(
+                                    vec[1] / vec[2])
+                            if vec[4] > 0:
+                                self.decoy_mean_pred = float(
+                                    vec[3] / vec[4])
                     pending_losses.clear()
 
                 if not batch_idx % self.log_interval:
                     loss_val = losses[-1] if losses else float('nan')
                     elapsed = time.time() - start
                     eta = elapsed / done_steps * (total_steps - done_steps)
+                    if self.model_task == 'classification':
+                        # Reference logs these every train batch
+                        # (point_neural_network_base.py:459-463).
+                        self.logger.log({
+                            'Mean active prediction (train)':
+                                self.active_mean_pred,
+                            'Mean inactive prediction (train)':
+                                self.decoy_mean_pred})
                     self.logger.log({
                         f'Loss (train, {self.model_task_for_fnames})':
                             loss_val,
@@ -378,24 +449,35 @@ class Trainer:
         mkdir(predictions_file.parent)
 
         eval_fn = self._eval_step()
+        if hasattr(data_loader, 'transfer_fn'):
+            data_loader.transfer_fn = self._to_device
         pending = ''
-        n_batches = len(data_loader)
+        in_flight = []  # [(device_logits, meta)] — fetch deferred so the
+        #                 eval dispatches pipeline instead of fencing on
+        #                 every batch's D2H logits read.
+
+        def drain():
+            nonlocal pending
+            for dev_logits, m in in_flight:
+                logits = np.asarray(dev_logits)
+                logits = logits.reshape(-1, logits.shape[-1])
+                graph_mask = m.graph_mask.reshape(-1)
+                y_true = m.y.reshape(graph_mask.shape[0], -1)
+                real = graph_mask > 0
+                pending += self._format_predictions(
+                    logits[real], y_true[real], m)
+                self._update_mean_preds(logits[real], y_true[real])
+            in_flight.clear()
+
         for batch_idx, (batch, meta) in enumerate(data_loader):
             batch_dev = self._to_device(batch)
-            logits = eval_fn(self.params, batch_dev)
-            logits = np.asarray(logits).reshape(-1, logits.shape[-1])
-            graph_mask = np.asarray(batch.graph_mask).reshape(-1)
-            y_true = np.asarray(batch.y).reshape(graph_mask.shape[0], -1)
-            real = graph_mask > 0
-
-            pending += self._format_predictions(
-                logits[real], y_true[real], meta)
-            self._update_mean_preds(logits[real], y_true[real])
-            if (not (batch_idx + 1) % self.log_interval
-                    or batch_idx == n_batches - 1):
+            in_flight.append((eval_fn(self.params, batch_dev), meta))
+            if not (batch_idx + 1) % self.log_interval:
+                drain()
                 with open(predictions_file, 'a', encoding='utf-8') as f:
                     f.write(pending)
                 pending = ''
+        drain()
         if pending:
             with open(predictions_file, 'a', encoding='utf-8') as f:
                 f.write(pending)

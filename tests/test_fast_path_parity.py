@@ -50,6 +50,46 @@ def test_fast_path_matches_pandas_path(monkeypatch):
     np.testing.assert_array_equal(fast.edge_attr, slow.edge_attr)
 
 
+def test_wire_v1_fallback_roundtrip():
+    """Batches violating the v2 invariants (unsorted senders) must fall
+    back to the v1 wire format and still round-trip exactly."""
+    import jax
+    from pointvs_tpu.data.buckets import pad_graphs_to_batch, \
+        stack_device_batches
+    from pointvs_tpu.data.wire import (WireBatch, compress, decompress,
+                                       pack_stacked, stacked_template,
+                                       unpack)
+    ds = _dataset()
+    batch = pad_graphs_to_batch([ds[0], ds[1]], num_graphs=2)
+    # Swap the first and last REAL edges so senders are no longer sorted.
+    senders = np.asarray(batch.senders).copy()
+    receivers = np.asarray(batch.receivers).copy()
+    attr = np.asarray(batch.edge_attr).copy()
+    last = int(np.asarray(batch.edge_mask).sum()) - 1
+    assert senders[0] != senders[last]
+    senders[[0, last]] = senders[[last, 0]]
+    receivers[[0, last]] = receivers[[last, 0]]
+    attr[[0, last]] = attr[[last, 0]]
+    batch = batch._replace(senders=senders, receivers=receivers,
+                           edge_attr=attr)
+    stacked = stack_device_batches([batch])
+    wire = compress(stacked)
+    assert isinstance(wire, WireBatch)
+    template = stacked_template(wire)
+
+    @jax.jit
+    def roundtrip(b):
+        return decompress(unpack(b[0], template))
+
+    got = roundtrip(pack_stacked(wire))
+    for field in ('node_feats', 'coords', 'senders', 'receivers',
+                  'edge_attr', 'edge_mask', 'node_mask', 'graph_id', 'y',
+                  'graph_mask', 'strain'):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(got, field)),
+            np.asarray(getattr(batch, field)), err_msg=field)
+
+
 def test_wire_roundtrip():
     import jax
     from pointvs_tpu.data.buckets import pad_graphs_to_batch, \

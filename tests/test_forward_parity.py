@@ -17,7 +17,8 @@ import torch
 from pointvs_tpu.data.buckets import GraphSample, pad_graphs_to_batch
 from pointvs_tpu.models import build_model
 from pointvs_tpu.testing.torch_ref import (
-    RefEGNN, load_flax_params, samples_to_torch_batch)
+    RefEGNN, RefLucidEGNN, RefMultitaskEGNN, load_flax_lucid_params,
+    load_flax_multitask_params, load_flax_params, samples_to_torch_batch)
 
 K, DIM_IN, LAYERS = 16, 12, 3
 
@@ -86,3 +87,106 @@ def test_forward_parity(name, flags, n_graphs):
 
     np.testing.assert_allclose(flax_out[:n_graphs], torch_out,
                                atol=1e-5, rtol=1e-5)
+
+
+# (name, flax lucid flags, n_graphs, layers) — graphnorm configs are
+# single-graph (whole-batch GraphNorm in the reference, per-graph here);
+# the deep 16-layer padded case guards against padding-row amplification
+# (the round-2 GraphNorm lesson: shallow gates cannot see it).
+LUCID_CONFIGS = [
+    ('lucid_default', dict(), 4, 3),
+    ('lucid_fourier_attention',
+     dict(fourier_features=4, attention=True), 4, 3),
+    ('lucid_thin_thick_attention',
+     dict(attention=True, thick_attention=True, thin_mlps=True,
+          node_final_act=True), 4, 3),
+    ('lucid_graphnorm_deep', dict(graphnorm=True), 1, 16),
+]
+
+
+@pytest.mark.parametrize('name,flags,n_graphs,layers',
+                         LUCID_CONFIGS, ids=[c[0] for c in LUCID_CONFIGS])
+def test_lucid_forward_parity(name, flags, n_graphs, layers):
+    """Weight-for-weight parity with the reference lucid math (fourier
+    distances, CoorsNorm, soft-edge gating, aggr='mean', pyg graph
+    LayerNorm; /root/reference/point_vs/models/geometric/egnn_lucid.py:
+    128-131, 189-191, 220-233)."""
+    import jax
+
+    samples = _random_samples(n_graphs, seed=hash(name) % 2 ** 31)
+    total_n = sum(s.num_nodes for s in samples)
+    total_e = sum(s.num_edges for s in samples)
+    batch = pad_graphs_to_batch(
+        samples, num_graphs=n_graphs,
+        n_pad=total_n + 9, e_pad=total_e + 17)  # deliberate padding
+
+    model = build_model('lucid', dim_input=DIM_IN, k=K, dim_output=1,
+                        num_layers=layers, scan_layers=False, **flags)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), batch)
+    flax_out = np.asarray(jax.jit(model.apply)(params, batch)).reshape(-1)
+
+    net = RefLucidEGNN(
+        DIM_IN, K, 1, layers,
+        fourier_features=flags.get('fourier_features', 0),
+        soft_edge=flags.get('attention', False),
+        thick_attention=flags.get('thick_attention', False),
+        norm_feats=True, norm_coors=True, tanh=True,
+        thin_mlps=flags.get('thin_mlps', False),
+        graphnorm=flags.get('graphnorm', False),
+        node_final_act=flags.get('node_final_act', False))
+    load_flax_lucid_params(net, jax.tree.map(np.asarray, params))
+    net.eval()
+    feats, coords, rows, cols, eattr, gid, _ = samples_to_torch_batch(
+        samples)
+    with torch.no_grad():
+        torch_out = net(feats, coords, rows, cols, eattr, gid,
+                        n_graphs).numpy().reshape(-1)
+
+    np.testing.assert_allclose(flax_out[:n_graphs], torch_out,
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_multitask_forward_parity():
+    """Both multitask heads + the first/final-only attention switches
+    pinned against the reference forward
+    (/root/reference/point_vs/models/geometric/egnn_multitask.py:96-166)."""
+    import jax
+
+    n_graphs, layers = 1, 4    # graphnorm => single-graph batch
+    samples = _random_samples(n_graphs, seed=1234)
+    total_n = sum(s.num_nodes for s in samples)
+    total_e = sum(s.num_edges for s in samples)
+    batch = pad_graphs_to_batch(
+        samples, num_graphs=n_graphs,
+        n_pad=total_n + 9, e_pad=total_e + 17)
+
+    flags = dict(residual=True, normalize=True, tanh=True, graphnorm=True,
+                 edge_attention=True, edge_attention_final_only=True,
+                 node_attention=True, node_attention_first_only=True,
+                 final_softplus=True)
+    model = build_model('multitask', dim_input=DIM_IN, k=K, dim_output=3,
+                        num_layers=layers, scan_layers=False, **flags)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), batch)
+    flax_pose = np.asarray(jax.jit(
+        lambda p, b: model.apply(p, b, task='classification'))(
+            params, batch)).reshape(-1)
+    flax_aff = np.asarray(jax.jit(
+        lambda p, b: model.apply(p, b, task='regression'))(
+            params, batch))
+
+    net = RefMultitaskEGNN(DIM_IN, K, 3, layers, **flags)
+    load_flax_multitask_params(net, jax.tree.map(np.asarray, params))
+    net.eval()
+    feats, coords, rows, cols, eattr, gid, _ = samples_to_torch_batch(
+        samples)
+    with torch.no_grad():
+        torch_pose = net(feats, coords, rows, cols, eattr, gid, n_graphs,
+                         task='classification').numpy().reshape(-1)
+        torch_aff = net(feats, coords, rows, cols, eattr, gid, n_graphs,
+                        task='regression').numpy()
+
+    np.testing.assert_allclose(flax_pose[:n_graphs], torch_pose,
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(
+        flax_aff.reshape(-1, 3)[:n_graphs], torch_aff.reshape(-1, 3),
+        atol=1e-5, rtol=1e-5)

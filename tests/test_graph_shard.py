@@ -197,3 +197,42 @@ def test_2d_dp_gp_matches_dp_only():
 
     assert abs(float(got_loss) - float(exp_loss)) < 1e-5
     _check_params_close(exp_params, got_params, params)
+
+
+def test_cli_graph_shard_matches_dp_only(tmp_path):
+    """The CLI path: --num_devices 8 --graph_shard 2 (4 dp rows x 2 edge
+    shards) reproduces 4-device DP-only training end to end — loader 2-D
+    collation, Trainer 2-D mesh/steps, val predictions."""
+    if len(jax.devices()) < 8:
+        pytest.skip('needs 8 virtual devices')
+    from pointvs_tpu.main import main as train_main
+
+    flags = [
+        '--train_data_root_pose', 'tests/resources',
+        '--train_types_pose', 'tests/resources/test.types',
+        '--test_data_root_pose', 'tests/resources',
+        '--test_types_pose', 'tests/resources/test.types',
+        '--layers', '2', '--egnn_attention', '--egnn_residual',
+        '--egnn_tanh', '--egnn_normalise', '--graphnorm', '--compact',
+        '--prefetch', '0', '-ep', '2', '-b', '4',
+    ]
+
+    def preds(path):
+        vals = []
+        with open(path) as f:
+            for line in f:
+                chunks = line.split()
+                if len(chunks) >= 3:
+                    vals.append(float(chunks[2]))
+        return np.sort(np.array(vals))
+
+    dp_dir = str(tmp_path / 'dp_only')
+    train_main(['egnn', dp_dir, *flags, '--num_devices', '4'])
+    gs_dir = str(tmp_path / 'graph_shard')
+    train_main(['egnn', gs_dir, *flags, '--num_devices', '8',
+                '--graph_shard', '2'])
+
+    p_dp = preds(f'{dp_dir}/pose_predictions.txt')
+    p_gs = preds(f'{gs_dir}/pose_predictions.txt')
+    assert len(p_dp) == len(p_gs) == 2
+    np.testing.assert_allclose(p_dp, p_gs, atol=5e-4)
