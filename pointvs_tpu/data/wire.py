@@ -127,13 +127,22 @@ def _try_compress_v2(batch: GraphBatch):
         strain=np.asarray(batch.strain, np.float32))
 
 
-def compress(batch: GraphBatch):
+def compress(batch: GraphBatch, prefer_v2: bool = None):
     """Host-side: GraphBatch (optionally with leading device axis) ->
-    WireBatchV2 (or v1 when the v2 invariants do not hold). recv_perm is
-    NOT transferred: a stable on-device argsort of the receivers rebuilds
-    it for ~free, while its int32 bytes were ~30% of the packed v1 batch
-    on the 13-31 MB/s tunnel."""
-    v2 = _try_compress_v2(batch)
+    WireBatch (or V2). recv_perm is NOT transferred: a stable on-device
+    argsort of the receivers rebuilds it for ~free, while its int32
+    bytes were ~30% of the packed v1 batch on the 13-31 MB/s tunnel.
+
+    Format choice (D2H-fenced A/B at the e2e bench bucket, 21k nodes /
+    230k edges): v2's searchsorted run-length decode costs ~21 ms/step
+    on device — 13x its ~0.5 MB byte saving once H2D overlaps compute
+    in the loader's producer thread — so v1 is the default. v2 wins only
+    where v1's indices go int32 (n_pad >= 65536: a 256-graph screening
+    batch ships 4.7 vs 13.1 MB), which is the auto cutover."""
+    n_pad_auto = batch.node_feats.shape[-2]
+    if prefer_v2 is None:
+        prefer_v2 = n_pad_auto >= 65536
+    v2 = _try_compress_v2(batch) if prefer_v2 else None
     if v2 is not None:
         return v2
     n_pad = batch.node_feats.shape[-2]

@@ -90,16 +90,21 @@ def test_wire_v1_fallback_roundtrip():
             np.asarray(getattr(batch, field)), err_msg=field)
 
 
-def test_wire_roundtrip():
+@pytest.mark.parametrize('prefer_v2', [False, True])
+def test_wire_roundtrip(prefer_v2):
+    """Both wire formats round-trip exactly (v1 is the train-path
+    default; v2 auto-cuts-over at n_pad >= 65536 — see wire.compress)."""
     import jax
     from pointvs_tpu.data.buckets import pad_graphs_to_batch, \
         stack_device_batches
-    from pointvs_tpu.data.wire import (compress, decompress, pack_stacked,
+    from pointvs_tpu.data.wire import (WireBatch, WireBatchV2, compress,
+                                       decompress, pack_stacked,
                                        stacked_template, unpack)
     ds = _dataset()
     batch = pad_graphs_to_batch([ds[0], ds[1]], num_graphs=2)
     stacked = stack_device_batches([batch])
-    wire = compress(stacked)
+    wire = compress(stacked, prefer_v2=prefer_v2)
+    assert isinstance(wire, WireBatchV2 if prefer_v2 else WireBatch)
     buf = pack_stacked(wire)
     template = stacked_template(wire)
 
