@@ -147,7 +147,17 @@ def parse_args(argv=None):
                         help='Initialise jax.distributed for multi-host '
                              '(DCN) training; data is sharded by process '
                              'index and gradients all-reduce over the '
-                             'global mesh')
+                             'global mesh. Pin --node_bucket/'
+                             '--edge_bucket so every process pads to '
+                             'the same static shapes')
+    parser.add_argument('--node_bucket', type=int, default=None,
+                        help='Pin the padded node count per device batch '
+                             'to ONE static shape instead of the bucket '
+                             'grid (required for --multihost: processes '
+                             'cannot negotiate per-batch shapes)')
+    parser.add_argument('--edge_bucket', type=int, default=None,
+                        help='Pin the padded edge count per device batch '
+                             '(see --node_bucket)')
     return parser.parse_args(argv)
 
 

@@ -368,6 +368,8 @@ def get_data_loader(
         prefetch: int = 2, seed: int = 0, cache_dir=None,
         shard_index: int = 0, num_shards: int = 1,
         layout: str = 'graph', graph_shard: int = 1,
+        node_buckets=DEFAULT_NODE_BUCKETS,
+        edge_buckets=DEFAULT_EDGE_BUCKETS,
         **kwargs) -> GraphDataLoader:
     """Build dataset + loader with the reference's flag surface
     (ref data_loaders.py:481-520)."""
@@ -400,4 +402,5 @@ def get_data_loader(
         ds, batch_size=batch_size, mode=mode, num_devices=num_devices,
         prefetch=prefetch, seed=seed, shard_index=shard_index,
         num_shards=num_shards, layout=layout, paired_dataset=paired,
-        graph_shard=graph_shard)
+        graph_shard=graph_shard, node_buckets=node_buckets,
+        edge_buckets=edge_buckets)

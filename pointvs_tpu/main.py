@@ -35,15 +35,26 @@ def build_loaders(args, num_devices: int):
     dataset_class = (SynthPharmDataset if args.synthpharm else None)
     input_kind = model_input_kind(args.model)
     import jax as _jax
+    n_proc = _jax.process_count()
+    if args.batch_size % max(1, n_proc * max(1, args.graph_shard)):
+        raise SystemExit(
+            f'--batch_size {args.batch_size} must be divisible by '
+            f'process_count ({n_proc}) x graph_shard')
     dl_kwargs = {
         # Model input kind decides collation: 'pair' builds bp-filtered
         # receptor/ligand tower datasets (ref siamese.py zipped loaders),
         # 'dense' builds zero-padded (p, v, m) batches (ref vanilla).
         'layout': {'pair': 'pair', 'dense': 'dense'}.get(input_kind,
                                                          'graph'),
+        # Multi-host (--multihost): each process draws a disjoint stripe
+        # of the SAME seeded index stream and collates only its OWN
+        # device rows ([D_local, ...], 1/n_proc of the global batch);
+        # mesh.shard_batch concatenates the rows in process order into
+        # the global batch, so the union of stripes at step k is exactly
+        # the single-process batch k (SURVEY.md section 5.8).
         'shard_index': _jax.process_index(),
-        'num_shards': _jax.process_count(),
-        'batch_size': args.batch_size,
+        'num_shards': n_proc,
+        'batch_size': args.batch_size // n_proc,
         'compact': args.compact,
         'radius': args.radius,
         'use_atomic_numbers': args.use_atomic_numbers,
@@ -55,14 +66,24 @@ def build_loaders(args, num_devices: int):
         'prune': args.prune,
         'extended_atom_types': args.extended_atom_types,
         'include_strain_info': args.include_strain_info,
-        # Loader num_devices counts data-parallel ROWS: with
-        # --graph_shard the full mesh is (dp rows) x (gp edge shards).
-        'num_devices': num_devices // max(1, args.graph_shard),
+        # Loader num_devices counts THIS process's data-parallel rows:
+        # with --graph_shard the full mesh is (dp rows) x (gp edge
+        # shards), and with --multihost the global rows split evenly
+        # over processes.
+        'num_devices': num_devices // max(1, args.graph_shard) // n_proc,
         'graph_shard': args.graph_shard,
         'prefetch': args.prefetch,
         'seed': args.seed,
         'cache_dir': args.cache_dir,
     }
+    if args.node_bucket:
+        dl_kwargs['node_buckets'] = (args.node_bucket,)
+    if args.edge_bucket:
+        dl_kwargs['edge_buckets'] = (args.edge_bucket,)
+    if n_proc > 1 and not (args.node_bucket and args.edge_bucket):
+        raise SystemExit('--multihost requires --node_bucket and '
+                         '--edge_bucket: processes pad independently and '
+                         'must agree on static shapes')
     if dataset_class is not None:
         dl_kwargs['dataset_class'] = dataset_class
 

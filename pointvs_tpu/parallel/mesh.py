@@ -38,16 +38,33 @@ def get_mesh_2d(n_dp: int, n_gp: int,
 
 
 def replicate(tree, mesh: Mesh):
-    """Place a pytree fully replicated on the mesh."""
+    """Place a pytree fully replicated on the mesh.
+
+    Multi-process (--multihost): every process passes the same host
+    values (same-seed init / restored checkpoint), assembled into a
+    replicated global array per leaf."""
     sharding = NamedSharding(mesh, P())
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)), tree)
     return jax.device_put(tree, sharding)
 
 
 def shard_batch(batch, mesh: Mesh, axis_name='dp'):
     """Place a [D, ...]-stacked GraphBatch sharded over the mesh axis
-    (or a [D1, D2, ...]-stacked one over a tuple of axes)."""
+    (or a [D1, D2, ...]-stacked one over a tuple of axes).
+
+    Multi-process (--multihost): each process passes only ITS device
+    rows ([D_local, ...], the loader collates exactly those — see
+    main.build_loaders); the rows concatenate in process order into the
+    global [D_global, ...] batch over ICI+DCN."""
     if isinstance(axis_name, (tuple, list)):
         sharding = NamedSharding(mesh, P(*axis_name))
     else:
         sharding = NamedSharding(mesh, P(axis_name))
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)), batch)
     return jax.device_put(batch, sharding)

@@ -31,7 +31,8 @@ def main(argv=None):
         saved, 'num_devices', None) or trainer.num_devices
     for attr, default in (('prefetch', 2), ('seed', 2),
                           ('cache_dir', None), ('p_noise', -1),
-                          ('p_remove_entity', 0), ('graph_shard', 1)):
+                          ('p_remove_entity', 0), ('graph_shard', 1),
+                          ('node_bucket', None), ('edge_bucket', None)):
         if not hasattr(saved, attr):
             setattr(saved, attr, default)
 

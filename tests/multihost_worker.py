@@ -1,0 +1,100 @@
+"""Worker process for the multi-process `jax.distributed` CPU test.
+
+Spawned by tests/test_multihost.py with JAX_PLATFORMS=cpu and
+XLA_FLAGS=--xla_force_host_platform_device_count=<local> in the
+environment (set BEFORE interpreter start, so the sitecustomize jax
+import honours them). Each process:
+
+1. joins the cluster (coordinator on 127.0.0.1),
+2. builds the tests/resources dataset + a striped GraphDataLoader
+   exactly as main.build_loaders does for --multihost (same seed, local
+   device rows, pinned single buckets),
+3. runs 2 training steps of the shard_map DP step over the GLOBAL mesh
+   (grads/loss psum over ICI+DCN),
+4. writes its final params + per-step losses to <out>/result_<pid>.npz.
+
+Run with num_processes=1 for the single-process reference.
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
+def main():
+    coord, n_proc, pid, out = sys.argv[1:5]
+    n_proc, pid = int(n_proc), int(pid)
+    # sitecustomize imports jax (registering the remote TPU backend)
+    # before this script runs, so env tweaks are too late; XLA_FLAGS from
+    # the spawner still applies because backends initialise lazily.
+    import jax
+    jax.config.update('jax_platforms', 'cpu')
+    jax.config.update('jax_default_matmul_precision', 'highest')
+    if n_proc > 1:
+        jax.distributed.initialize(coordinator_address=coord,
+                                   num_processes=n_proc, process_id=pid)
+    import numpy as np
+
+    from pointvs_tpu.data.dataset import PointCloudDataset
+    from pointvs_tpu.data.loader import GraphDataLoader
+    from pointvs_tpu.models import build_model
+    from pointvs_tpu.parallel.mesh import get_mesh, replicate, shard_batch
+    from pointvs_tpu.parallel.steps import make_train_step
+    from pointvs_tpu.training.optimisers import build_optimiser
+    import jax.numpy as jnp
+
+    assert jax.process_count() == n_proc
+    total = len(jax.devices())
+    local_rows = total // n_proc
+
+    ds = PointCloudDataset(
+        'tests/resources', radius=4, polar_hydrogens=False, compact=True,
+        types_fname='tests/resources/test.types', edge_radius=4,
+        estimate_bonds=True, model_task='classification')
+    # Same seed on every process; each strides off its own rows of every
+    # global batch (loader stripes the shared index stream by process).
+    dl = GraphDataLoader(
+        ds, batch_size=8 // n_proc, mode='train',
+        num_devices=local_rows, prefetch=0, seed=3,
+        shard_index=pid, num_shards=n_proc,
+        node_buckets=(256,), edge_buckets=(1024,))
+
+    model = build_model('egnn', dim_input=ds.feature_dim, k=12,
+                        dim_output=1, num_layers=2, scan_layers=True,
+                        residual=True, graphnorm=True)
+    from pointvs_tpu.data.buckets import pad_graphs_to_batch
+    init_batch = pad_graphs_to_batch([ds[0]], num_graphs=1,
+                                     n_pad=256, e_pad=1024)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), init_batch)
+    tx = build_optimiser('adam', 1e-4)
+    opt_state = tx.init(params)
+
+    mesh = get_mesh()  # all GLOBAL devices
+    params = replicate(params, mesh)
+    opt_state = replicate(opt_state, mesh)
+    step = make_train_step(model, tx, 'classification', 'mse', mesh)
+    lr = jnp.float32(1e-3)
+    rng = jax.random.PRNGKey(7)
+
+    losses = []
+    for _ in range(2):  # 2 epochs x 1 batch = 2 steps
+        for batch, _meta in dl:
+            dev = shard_batch(batch, mesh)
+            params, opt_state, loss = step(params, opt_state, dev, lr,
+                                           rng)
+            losses.append(float(np.asarray(jax.device_get(loss))))
+
+    if pid == 0:
+        leaves = jax.tree.leaves(jax.device_get(params))
+        np.savez(f'{out}/result_{n_proc}proc.npz',
+                 losses=np.array(losses),
+                 **{f'p{i}': np.asarray(l) for i, l in enumerate(leaves)})
+    # All processes must stay alive until process 0 has written.
+    if n_proc > 1:
+        import jax.experimental.multihost_utils as mhu
+        mhu.sync_global_devices('done')
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,100 @@
+"""Multi-process (--multihost) tests: 2-process `jax.distributed` on CPU
+must reproduce single-process training, and the loader's process
+striping must partition the index stream exactly (SURVEY.md section 5.8,
+VERDICT round-2 item 5).
+
+The 2-process cluster runs in subprocesses (coordinator on localhost, 4
+virtual CPU devices each = the same 8-device global mesh the rest of the
+suite uses); see tests/multihost_worker.py for what each process does.
+"""
+import os
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(('127.0.0.1', 0))
+        return s.getsockname()[1]
+
+
+def _spawn(coord, n_proc, pid, out, local_devices):
+    env = dict(os.environ)
+    env['JAX_PLATFORMS'] = 'cpu'
+    env['XLA_FLAGS'] = (f'--xla_force_host_platform_device_count='
+                        f'{local_devices}')
+    env.pop('PYTEST_CURRENT_TEST', None)
+    return subprocess.Popen(
+        [sys.executable, 'tests/multihost_worker.py', coord, str(n_proc),
+         str(pid), out],
+        cwd=REPO, env=env, stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT)
+
+
+def test_two_process_training_matches_single_process(tmp_path):
+    """2 processes x 4 devices == 1 process x 8 devices: same per-step
+    losses and final params (the global batch at step k is the union of
+    the process stripes, and grads/loss psum over the global mesh)."""
+    out = str(tmp_path)
+
+    ref = _spawn('', 1, 0, out, 8)
+    ref_log = ref.communicate(timeout=300)[0].decode()
+    assert ref.returncode == 0, f'single-process worker failed:\n{ref_log}'
+
+    coord = f'127.0.0.1:{_free_port()}'
+    procs = [_spawn(coord, 2, pid, out, 4) for pid in (0, 1)]
+    logs = []
+    for p in procs:
+        try:
+            logs.append(p.communicate(timeout=300)[0].decode())
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.skip('jax.distributed 2-process CPU cluster timed out '
+                        'on this host')
+    if any(p.returncode for p in procs):
+        joined = '\n====\n'.join(logs)
+        if 'DISTRIBUTED' in joined.upper() or 'UNAVAILABLE' in joined:
+            pytest.skip(f'jax.distributed unavailable:\n{joined[-2000:]}')
+        raise AssertionError(f'2-process workers failed:\n{joined}')
+
+    one = np.load(f'{out}/result_1proc.npz')
+    two = np.load(f'{out}/result_2proc.npz')
+    np.testing.assert_allclose(one['losses'], two['losses'], atol=1e-5)
+    keys = sorted(k for k in one.files if k.startswith('p'))
+    assert keys == sorted(k for k in two.files if k.startswith('p'))
+    for k in keys:
+        np.testing.assert_allclose(one[k], two[k], atol=1e-5,
+                                   err_msg=f'param leaf {k}')
+
+
+def test_loader_striping_partitions_indices_exactly():
+    """shard_index/num_shards stripes of the same seeded stream are a
+    disjoint, order-preserving partition of the unsharded stream — so
+    the union of all processes' batch k is exactly the single-process
+    batch k."""
+    from pointvs_tpu.data.dataset import PointCloudDataset
+    from pointvs_tpu.data.loader import GraphDataLoader
+
+    ds = PointCloudDataset(
+        'tests/resources', radius=4, polar_hydrogens=False, compact=True,
+        types_fname='tests/resources/test.types', edge_radius=4,
+        estimate_bonds=True, model_task='classification')
+
+    full = GraphDataLoader(ds, batch_size=2, mode='train', prefetch=0,
+                           seed=11)
+    stripes = [GraphDataLoader(ds, batch_size=1, mode='train', prefetch=0,
+                               seed=11, shard_index=p, num_shards=2)
+               for p in range(2)]
+    for _ in range(3):  # several epochs of the seeded stream
+        idx = full._epoch_indices()
+        got = [s._epoch_indices() for s in stripes]
+        np.testing.assert_array_equal(idx[0::2], got[0])
+        np.testing.assert_array_equal(idx[1::2], got[1])
