@@ -127,10 +127,13 @@ def parse_args(argv=None):
                              'Checkpoints are layout-specific, so use '
                              'this only to load pre-scan checkpoints')
     parser.add_argument('--bf16', action='store_true',
-                        help='Mixed precision: feature-path MLPs and '
-                             'attention in bfloat16 (params, geometry, '
-                             'head and loss stay f32). ~2x MXU throughput '
-                             'for ~1e-2 relative activation error; EGNN '
+                        help='bfloat16 feature-path activations (params, '
+                             'geometry, head and loss stay f32): halves '
+                             'activation memory for DEEP configs (e.g. '
+                             '48 layers). NOT a speed flag — the step is '
+                             'aggregation/HBM-bound and mixed dtype '
+                             'disqualifies the packed-gather fast path '
+                             '(D2H-fenced 0.80x at 12L/K=32); EGNN '
                              'family only (ignored by other models)')
     parser.add_argument('--remat', action='store_true',
                         help='Rematerialise each EGNN layer in backward '
