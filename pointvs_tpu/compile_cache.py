@@ -24,7 +24,14 @@ def enable_persistent_compilation_cache(cache_dir: str | None = None):
     try:
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update('jax_compilation_cache_dir', cache_dir)
-        jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+        # 0, NOT the usual ~1s threshold: remote-compile backends return
+        # from backend_compile in <1s (the compile continues server-side
+        # and the first EXECUTION blocks on it), so a time threshold
+        # makes jax silently skip the cache write for exactly the
+        # programs that cost minutes — every screen/bench/CLI process
+        # then recompiles. Observed 2026-08-17: trivial 6-matmul program,
+        # 175s wall compile, no cache entry written at threshold 1.0.
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.0)
         _ENABLED = True
     except (OSError, AttributeError):
         pass

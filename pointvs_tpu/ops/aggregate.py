@@ -17,10 +17,80 @@ import jax
 import jax.numpy as jnp
 
 from pointvs_tpu.ops.sorted_segment import (
+    WINDOW,
+    derive_max_eb,
     gather_by_sorted_ids,
     windowed_segment_max,
     windowed_segment_sum,
 )
+
+
+def _max_grad_factor(x, c):
+    """Gradient of jnp.maximum(x, c) wrt x — including the 0.5 tie split
+    (counts hit the tie at degree-1 destinations, so matching autodiff
+    of the unfused formulation needs it)."""
+    return jnp.where(x > c, 1.0, jnp.where(x == c, 0.5, 0.0))
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _fused_softmax_pallas(feat, logits, trans, mask, senders,
+                          num_segments, window, max_eb, interpret=False):
+    """(feat_agg, coord_mean) via the single-pass Pallas kernel (masked
+    segment max + exp-shift weighting + one-hot contraction in VMEM).
+    Parity with the unfused formulation is pinned by
+    tests/test_pallas_kernels.py; gradients below replicate autodiff of
+    the unfused path exactly (incl. maximum-tie subgradients)."""
+    out, _ = _fsp_fwd(feat, logits, trans, mask, senders, num_segments,
+                      window, max_eb, interpret)
+    return out
+
+
+def _fsp_fwd(feat, logits, trans, mask, senders, num_segments, window,
+             max_eb, interpret=False):
+    from pointvs_tpu.ops.pallas.segment_kernels import \
+        pallas_fused_softmax_aggregate
+    k = feat.shape[1]
+    out, seg_max = pallas_fused_softmax_aggregate(
+        feat, logits, trans, mask, senders, num_segments, window, max_eb,
+        interpret=interpret)
+    denom_raw = out[:, k + 4]
+    counts_raw = out[:, k + 5]
+    denom_c = jnp.maximum(denom_raw, 1e-16)
+    counts_c = jnp.maximum(counts_raw, 1.0)
+    feat_agg = out[:, :k] / denom_c[:, None]
+    coord_mean = out[:, k:k + 3] / counts_c[:, None]
+    res = (feat, logits, trans, mask, senders, seg_max,
+           denom_raw, counts_raw, feat_agg, coord_mean)
+    return (feat_agg, coord_mean), res
+
+
+def _fsp_bwd(num_segments, window, max_eb, interpret, res, cts):
+    (feat, logits, trans, mask, senders, seg_max,
+     denom_raw, counts_raw, feat_agg, coord_mean) = res
+    g_f, g_c = cts
+    denom_c = jnp.maximum(denom_raw, 1e-16)
+    counts_c = jnp.maximum(counts_raw, 1.0)
+
+    dS_f = g_f / denom_c[:, None]
+    d_denom = (-(g_f * feat_agg).sum(-1) / denom_c
+               * _max_grad_factor(denom_raw, 1e-16))
+    dS_t = g_c / counts_c[:, None]
+
+    clamped = jnp.minimum(senders, num_segments - 1)
+    valid = (senders < num_segments).astype(feat.dtype)
+    shift = seg_max[clamped] * valid
+    expd = jnp.exp(logits - shift) * mask.astype(logits.dtype) * valid
+
+    gfe = dS_f[clamped] * valid[:, None]
+    d_feat = gfe * expd[:, None]
+    d_expd = (gfe * feat).sum(-1) + d_denom[clamped] * valid
+    d_logits = d_expd * expd
+    d_trans = (dS_t[clamped] * valid[:, None]
+               * mask[:, None].astype(trans.dtype))
+    return d_feat, d_logits, d_trans, None, None
+
+
+_fused_softmax_pallas.defvjp(_fsp_fwd, _fsp_bwd)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(3,))
@@ -120,6 +190,26 @@ class EdgeAggregator:
         mask = self.edge_mask if mask is None else mask
         squeeze = logits.ndim == 2 and logits.shape[-1] == 1
         flat = logits[:, 0] if squeeze else logits
+
+        # Single-pass Pallas kernel (masked segment max + exp weighting +
+        # contraction in VMEM) when unsharded f32 on TPU; the edge-sharded
+        # path needs a cross-device pmax BETWEEN max and exp, so it stays
+        # on the composable formulation below.
+        from pointvs_tpu.ops.sorted_segment import _use_pallas
+        k = edge_feat.shape[1]
+        if (self.axis_name is None and mask is not None
+                and edge_feat.dtype == jnp.float32
+                and flat.dtype == jnp.float32
+                and edge_feat.shape[0] >= 4 * WINDOW):
+            max_eb = derive_max_eb(edge_feat.shape[0], self.num_nodes)
+            kp = k + 6 + (-(k + 6)) % 8
+            vmem_ok = max_eb * (1024 + 4 * kp + 64) < 80 * 1024 * 1024
+            if _use_pallas() and vmem_ok:
+                return _fused_softmax_pallas(
+                    edge_feat, flat, trans.astype(edge_feat.dtype),
+                    mask.astype(edge_feat.dtype), self.senders,
+                    self.num_nodes, WINDOW, max_eb, False)
+
         guarded = jnp.where(mask > 0, flat,
                             jnp.asarray(-1e30, flat.dtype)) \
             if mask is not None else flat
@@ -132,7 +222,6 @@ class EdgeAggregator:
         if mask is not None:
             expd = expd * mask.astype(expd.dtype)
 
-        k = edge_feat.shape[1]
         ones = (jnp.ones((edge_feat.shape[0], 1), edge_feat.dtype)
                 if mask is None else
                 mask[:, None].astype(edge_feat.dtype))

@@ -119,18 +119,62 @@ def screen(model_path, receptor, ligands, output='screen_results.csv',
              f'(max batch {max_n}/{max_e})')
 
     eval_fn = trainer._eval_step()
-    # Pipeline: collation + wire packing + async device_put run in the
-    # loader's producer thread; the scoring loop only dispatches eval
-    # steps and drains logits AFTER all dispatches, so H2D transfers and
-    # device compute overlap across the whole library (fencing per batch
-    # had the device >90% idle).
-    dl.transfer_fn = trainer._to_device
+    # Pipeline: collation + wire packing run in the loader's producer
+    # thread; packed batches are shipped in GROUPS of TRANSFER_GROUP via
+    # ONE device_put each (one [G, D, nbytes] mega-buffer), because on
+    # tunneled backends the per-transfer ROUND TRIP (~50-300 ms), not
+    # bytes or host compute (~0.1 s for the whole library) or device
+    # eval (~30 ms/batch), is what dominates the scoring loop. Logits
+    # drain AFTER all dispatches so transfers overlap device compute.
+    from pointvs_tpu.data.wire import (compress, pack_stacked,
+                                       stacked_template)
+
+    def pack_host(batch):
+        wire = compress(batch)
+        return ('host_packed', pack_stacked(wire), stacked_template(wire))
+
+    dl.transfer_fn = pack_host
     dl.prefetch = max(dl.prefetch, 3)
+    TRANSFER_GROUP = 8
     rows = []
     start = time.perf_counter()
     in_flight = []
+    group, group_meta = [], []
+
+    import os
+    _dbg = os.environ.get('POINTVS_SCREEN_DEBUG') == '1'
+
+    def flush_group():
+        if not group:
+            return
+        import jax
+        t0 = time.perf_counter()
+        mega = np.stack([g[1] for g in group])        # [G, D, nbytes]
+        mega_dev = jax.device_put(mega)               # ONE transfer
+        t1 = time.perf_counter()
+        for i, (tag, _buf, template) in enumerate(group):
+            dev = ('packed', mega_dev[i], template)
+            in_flight.append((eval_fn(trainer.params, dev),
+                              group_meta[i]))
+        if _dbg:
+            LOG.info(f'flush: put {t1-t0:.2f}s dispatch '
+                     f'{time.perf_counter()-t1:.2f}s x{len(group)}')
+        group.clear()
+        group_meta.clear()
+
     for batch, meta in dl:
-        in_flight.append((eval_fn(trainer.params, batch), meta))
+        if isinstance(batch, tuple) and batch[0] == 'host_packed':
+            group.append(batch)
+            group_meta.append(meta)
+            if len(group) >= TRANSFER_GROUP:
+                flush_group()
+        else:   # non-graph layouts fall back to per-batch transfer
+            in_flight.append((eval_fn(trainer.params,
+                                      trainer._to_device(batch)), meta))
+    flush_group()
+    if _dbg:
+        LOG.info(f'all dispatched at {time.perf_counter()-start:.2f}s')
+    _t_drain = time.perf_counter()
     for dev_logits, meta in in_flight:
         logits = np.asarray(dev_logits)
         logits = logits.reshape(-1, logits.shape[-1])
@@ -142,6 +186,8 @@ def screen(model_path, receptor, ligands, output='screen_results.csv',
             scores = scores.mean(axis=1)
         for lig, score in zip(meta.lig_fnames, scores):
             rows.append({'ligand': lig, 'score': float(score)})
+    if _dbg:
+        LOG.info(f'drain took {time.perf_counter()-_t_drain:.2f}s')
     elapsed = time.perf_counter() - start
     LOG.info(f'Scored {len(rows)} poses in {elapsed:.1f}s '
              f'({len(rows) / max(elapsed, 1e-9):.0f} poses/s end-to-end)')
