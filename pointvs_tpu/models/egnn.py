@@ -126,9 +126,13 @@ class EGNNLayer(nn.Module):
         # Fused gathers: h and coord ride one [N, K+3+pad] gather per
         # direction (padded so the gathers' scatter-VJPs stay on the
         # 8-lane-aligned Pallas path) — halves the per-layer gather and
-        # backward-scatter launches. bf16 mode keeps h and coords in
-        # different dtypes, so it takes the separate-op path.
+        # backward-scatter launches. bf16 mode packs the bf16 features
+        # two-lanes-per-f32 (bitcast) so it keeps the same fused path;
+        # its aggregations upcast to f32 at the scatter boundary (better
+        # accumulation AND the fast kernels, which are f32-only).
         fuse_ops = self.dtype is None and h.dtype == coord.dtype
+        mixed_fuse = (not fuse_ops and h.dtype == jnp.bfloat16
+                      and coord.dtype == jnp.float32)
         if fuse_ops:
             k = h.shape[1]
             pad = (-(k + 3)) % 8
@@ -139,6 +143,9 @@ class EGNNLayer(nn.Module):
             hc_r = agg.gather_dst(hc)
             h_s, coord_s = hc_s[:, :k], hc_s[:, k:k + 3]
             h_r, coord_r = hc_r[:, :k], hc_r[:, k:k + 3]
+        elif mixed_fuse:
+            h_s, coord_s = agg.gather_hc_src(h, coord)
+            h_r, coord_r = agg.gather_hc_dst(h, coord)
         else:
             coord_s = agg.gather_src(coord)
             coord_r = agg.gather_dst(coord)
@@ -183,7 +190,7 @@ class EGNNLayer(nn.Module):
         # segment-sum scatter over the SAME senders: pack them into one
         # windowed scatter (and one psum when edge-sharded).
         fuse_softmax = (self.edge_attention and self.softmax_attention
-                        and fuse_ops and self.update_coords
+                        and (fuse_ops or mixed_fuse) and self.update_coords
                         and not capture_aux)
         if fuse_softmax:
             # Softmax weighting folded into the aggregation: the
@@ -193,7 +200,9 @@ class EGNNLayer(nn.Module):
             att_logits = self.att_mlp(edge_feat)
             trans = coord_diff * self.coord_mlp(edge_feat, train=train)
             agg_feats, coord_delta = agg.fused_softmax_aggregate(
-                edge_feat, att_logits, trans, mask=edge_mask)
+                edge_feat.astype(coord.dtype),
+                att_logits.astype(coord.dtype), trans, mask=edge_mask)
+            agg_feats = agg_feats.astype(h.dtype)
             coord = coord + coord_delta
         else:
             if self.edge_attention:
@@ -208,9 +217,11 @@ class EGNNLayer(nn.Module):
 
             if self.update_coords:
                 trans = coord_diff * self.coord_mlp(edge_feat, train=train)
-                if fuse_ops:
+                if fuse_ops or mixed_fuse:
                     agg_feats, coord_delta = agg.fused_sum_mean_to_src(
-                        messages, trans, mask=edge_mask)
+                        messages.astype(coord.dtype), trans,
+                        mask=edge_mask)
+                    agg_feats = agg_feats.astype(h.dtype)
                 else:
                     agg_feats = agg.sum_to_src(messages, mask=edge_mask)
                     coord_delta = agg.mean_to_src(trans, mask=edge_mask)

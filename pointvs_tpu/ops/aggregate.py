@@ -119,6 +119,79 @@ def _gu_bwd(num_segments, res, g):
 _gather_unsorted.defvjp(_gu_fwd, _gu_bwd)
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _gather_hc_mixed(h, coord, ids, ids_sorted_with_perm, num_segments):
+    """Fused gather of bf16 features + f32 coords through ONE f32 gather.
+
+    The bf16 [N, K] block is bitcast-packed two-lanes-per-f32 into the
+    same array as the f32 coords, so mixed-precision mode keeps the
+    halved gather/backward-scatter launch count of the fused f32 path.
+    Masking uses a bitwise SELECT (never arithmetic) — packed lanes can
+    hold bit patterns that a multiply would canonicalise."""
+    out = _gather_hc_fwd_impl(h, coord, ids, num_segments)
+    return out
+
+
+def _pack_hc(h, coord):
+    n, kh = h.shape
+    if kh % 2:
+        h = jnp.concatenate([h, jnp.zeros((n, 1), h.dtype)], axis=1)
+        kh += 1
+    hp = jax.lax.bitcast_convert_type(
+        h.reshape(n, kh // 2, 2), jnp.float32)
+    packed = jnp.concatenate([hp, coord.astype(jnp.float32)], axis=1)
+    pad = (-packed.shape[1]) % 8
+    if pad:
+        packed = jnp.concatenate(
+            [packed, jnp.zeros((n, pad), jnp.float32)], axis=1)
+    return packed, kh
+
+
+def _gather_hc_fwd_impl(h, coord, ids, num_segments):
+    kh_orig = h.shape[1]
+    packed, kh = _pack_hc(h, coord)
+    clamped = jnp.minimum(ids, num_segments - 1)
+    valid = ids < num_segments
+    out = jnp.where(valid[:, None], packed[clamped], 0.0)
+    h_out = jax.lax.bitcast_convert_type(
+        out[:, :kh // 2], h.dtype).reshape(out.shape[0], kh)[:, :kh_orig]
+    coord_out = out[:, kh // 2:kh // 2 + 3].astype(coord.dtype)
+    return h_out, coord_out
+
+
+def _ghc_fwd(h, coord, ids, ids_sorted_with_perm, num_segments):
+    return _gather_hc_fwd_impl(h, coord, ids, num_segments), \
+        (ids, ids_sorted_with_perm)
+
+
+def _ghc_bwd(num_segments, res, cts):
+    ids, ids_sorted_with_perm = res
+    g_h, g_coord = cts
+    # Feature dtype/width come off the cotangent itself (the primal h
+    # has the same shape/dtype as its gathered output's feature block).
+    h_dtype, kh = g_h.dtype, g_h.shape[1]
+    # Cotangents are ordinary values: cast to f32 and ride ONE windowed
+    # scatter (f32 accumulation is also strictly better than a bf16
+    # scatter would be).
+    g = jnp.concatenate(
+        [g_h.astype(jnp.float32), g_coord.astype(jnp.float32)], axis=1)
+    pad = (-g.shape[1]) % 8
+    if pad:
+        g = jnp.concatenate(
+            [g, jnp.zeros((g.shape[0], pad), jnp.float32)], axis=1)
+    if ids_sorted_with_perm is None:
+        d = windowed_segment_sum(g, ids, num_segments)
+    else:
+        perm, sorted_ids = ids_sorted_with_perm
+        d = windowed_segment_sum(g[perm], sorted_ids, num_segments)
+    d_h = d[:, :kh].astype(h_dtype)
+    d_coord = d[:, kh:kh + 3]
+    return d_h, d_coord, None, None
+
+
+_gather_hc_mixed.defvjp(_ghc_fwd, _ghc_bwd)
+
+
 class EdgeAggregator:
     """Bound to one batch's edge layout; stateless wrt model params.
 
@@ -159,6 +232,17 @@ class EdgeAggregator:
         return _gather_unsorted(
             h, self.receivers, (self.recv_perm, self.receivers_sorted),
             self.num_nodes)
+
+    # Mixed-precision fused gathers: bf16 features + f32 coords through
+    # one f32 gather (bitcast-packed; see _gather_hc_mixed).
+    def gather_hc_src(self, h, coord):
+        return _gather_hc_mixed(h, coord, self.senders, None,
+                                self.num_nodes)
+
+    def gather_hc_dst(self, h, coord):
+        return _gather_hc_mixed(
+            h, coord, self.receivers,
+            (self.recv_perm, self.receivers_sorted), self.num_nodes)
 
     # -- aggregations to the SOURCE index (satorras convention) -------- #
     def _masked(self, data, mask):
