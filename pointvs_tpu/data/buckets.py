@@ -181,6 +181,26 @@ def pad_graphs_to_batch(samples: Sequence[GraphSample],
             f'pad sizes ({n_pad},{e_pad}) smaller than actual '
             f'({total_nodes},{total_edges})')
 
+    # Capacity pre-pass: dense batches can exceed the windowed scatter's
+    # derived 2x-mean per-window capacity, which would force assembling
+    # the edge arrays twice (the _required_e_pad recursion below stays as
+    # the authoritative guard). One bincount per sample is ~free next to
+    # the array fills it avoids.
+    from pointvs_tpu.ops.sorted_segment import WINDOW
+    nb_w = -(-n_pad // WINDOW) + 1
+    hist_s = np.zeros(nb_w, np.int64)
+    hist_r = np.zeros(nb_w, np.int64)
+    off = 0
+    for s in samples:
+        if s.num_edges:
+            hist_s += np.bincount((s.senders + off) // WINDOW,
+                                  minlength=nb_w)[:nb_w]
+            hist_r += np.bincount((s.receivers + off) // WINDOW,
+                                  minlength=nb_w)[:nb_w]
+        off += s.num_nodes
+    max_load = int(max(hist_s.max(initial=0), hist_r.max(initial=0)))
+    e_pad = max(e_pad, _e_pad_for_load(max_load, n_pad, e_pad))
+
     feat_dim = samples[0].node_feats.shape[1]
     edge_dim = samples[0].edge_attr.shape[1] if samples[0].num_edges else 3
 
@@ -308,6 +328,21 @@ def _sorted_max_window_load(sorted_ids: np.ndarray, n_pad: int,
     return int(np.diff(idx).max()) if len(idx) > 1 else 0
 
 
+def _e_pad_for_load(max_load: int, n_pad: int, e_pad: int) -> int:
+    """Smallest e_pad (>= the given one, 512-stepped) whose derived
+    per-window capacity covers ``max_load``; e_pad itself when it
+    already does."""
+    from pointvs_tpu.ops.sorted_segment import derive_max_eb
+    if max_load <= derive_max_eb(e_pad, n_pad):
+        return e_pad
+    grown = e_pad
+    for _ in range(64):
+        grown = -(-int(grown * 1.25) // 512) * 512
+        if derive_max_eb(grown, n_pad) >= max_load:
+            return grown
+    return -1
+
+
 def _required_e_pad(senders, receivers, n_pad: int, e_pad: int) -> int:
     """The windowed scatter derives a static per-window edge capacity
     from (e_pad, n_pad). Return the e_pad under which the realised
@@ -315,17 +350,12 @@ def _required_e_pad(senders, receivers, n_pad: int, e_pad: int) -> int:
     padding otherwise (dense pockets can exceed the 2x-mean capacity;
     growing the padding grows the derived capacity, costing only extra
     masked edges on rare pathological batches)."""
-    from pointvs_tpu.ops.sorted_segment import WINDOW, derive_max_eb
-    cap = derive_max_eb(e_pad, n_pad)
+    from pointvs_tpu.ops.sorted_segment import WINDOW
     max_load = max(_sorted_max_window_load(senders, n_pad, WINDOW),
                    _max_window_load(receivers, n_pad, WINDOW))
-    if max_load <= cap:
-        return e_pad
-    grown = e_pad
-    for _ in range(64):
-        grown = -(-int(grown * 1.25) // 512) * 512
-        if derive_max_eb(grown, n_pad) >= max_load:
-            return grown
+    grown = _e_pad_for_load(max_load, n_pad, e_pad)
+    if grown >= 0:
+        return grown
     raise ValueError(
         f'Graph too dense for the windowed scatter: a {WINDOW}-node '
         f'window has {max_load} incident edges (e_pad={e_pad}, '
