@@ -337,6 +337,17 @@ class PointCloudDataset:
                                + struct['bp'] * self.n_features)
         return struct
 
+    def _build_graph(self, lig_fname, rec_fname, aug_angle: float):
+        """(struct, rows, cols, attrs, rperm) for one complex — the
+        boxed-pocket + radius-edges pipeline. Subclasses can override
+        (data/shared_receptor.py reuses receptor work across a whole
+        screening library)."""
+        from pointvs_tpu.data.fast_structs import subset
+        struct = self._build_struct(lig_fname, rec_fname, aug_angle)
+        if self.bp is not None:
+            struct = subset(struct, struct['bp'] == self.bp)
+        return self._edges_for(struct)
+
     def _edges_for(self, struct):
         from pointvs_tpu.data import fast_structs as fs
         edge_radius = self.edge_radius if self.edge_radius > 0 else 4
@@ -389,10 +400,8 @@ class PointCloudDataset:
                 self._mem_cache_put(mem_key, item)
                 return item
 
-        struct = self._build_struct(lig_fname, rec_fname, aug_angle)
-        if self.bp is not None:
-            struct = subset(struct, struct['bp'] == self.bp)
-        struct, rows, cols, attrs, rperm = self._edges_for(struct)
+        struct, rows, cols, attrs, rperm = self._build_graph(
+            lig_fname, rec_fname, aug_angle)
 
         if cache_path is not None:
             from pointvs_tpu.data.blob import save_blob

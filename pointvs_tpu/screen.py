@@ -81,8 +81,10 @@ def screen(model_path, receptor, ligands, output='screen_results.csv',
                      if model_kwargs.get('model_task') != 'both'
                      else 'classification')
 
+    from pointvs_tpu.data.shared_receptor import SharedReceptorDataset
     dl = get_data_loader(
         '/', batch_size=batch_size,
+        dataset_class=SharedReceptorDataset,
         compact=cmd_args.get('compact', True),
         radius=cmd_args.get('radius', radius),
         use_atomic_numbers=cmd_args.get('use_atomic_numbers', False),
