@@ -444,6 +444,13 @@ class Trainer:
         predictions_file = Path(predictions_file)
         predictions_file = predictions_file.parent / (
             f'{self.model_task_for_fnames}_{predictions_file.name}')
+        if jax.process_count() > 1:
+            # Each process scores (and therefore writes) its own device
+            # rows; suffixing keeps concurrent writers apart on shared
+            # filesystems.
+            predictions_file = predictions_file.with_name(
+                f'{predictions_file.stem}_proc{jax.process_index()}'
+                f'{predictions_file.suffix}')
         if predictions_file.is_file():
             predictions_file.unlink()
         mkdir(predictions_file.parent)
@@ -459,7 +466,18 @@ class Trainer:
         def drain():
             nonlocal pending
             for dev_logits, m in in_flight:
-                logits = np.asarray(dev_logits)
+                if getattr(dev_logits, 'is_fully_addressable', True):
+                    logits = np.asarray(dev_logits)
+                else:
+                    # Multi-process: only this process's device rows are
+                    # addressable — and the loader collated exactly those
+                    # rows, so meta lines up with the local shards (each
+                    # process writes ITS slice of the predictions).
+                    shards = sorted(
+                        dev_logits.addressable_shards,
+                        key=lambda s: (s.index[0].start or 0))
+                    logits = np.concatenate(
+                        [np.asarray(s.data) for s in shards])
                 logits = logits.reshape(-1, logits.shape[-1])
                 graph_mask = m.graph_mask.reshape(-1)
                 y_true = m.y.reshape(graph_mask.shape[0], -1)

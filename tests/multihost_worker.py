@@ -90,7 +90,29 @@ def main():
         np.savez(f'{out}/result_{n_proc}proc.npz',
                  losses=np.array(losses),
                  **{f'p{i}': np.asarray(l) for i, l in enumerate(leaves)})
-    # All processes must stay alive until process 0 has written.
+
+    # Eval path: each process fetches only its ADDRESSABLE logit shards
+    # (exactly the rows its loader collated) — the mechanism engine.val
+    # uses in multi-process mode.
+    from pointvs_tpu.parallel.steps import make_eval_step
+    eval_dl = GraphDataLoader(
+        ds, batch_size=8 // n_proc, mode='val', num_devices=local_rows,
+        prefetch=0, shard_index=pid, num_shards=n_proc,
+        node_buckets=(256,), edge_buckets=(1024,))
+    ev = make_eval_step(model, 'classification', mesh)
+    batch, meta = next(iter(eval_dl))
+    logits = ev(params, shard_batch(batch, mesh))
+    if getattr(logits, 'is_fully_addressable', True):
+        arr = np.asarray(jax.device_get(logits))
+    else:
+        shards = sorted(logits.addressable_shards,
+                        key=lambda s: (s.index[0].start or 0))
+        arr = np.concatenate([np.asarray(s.data) for s in shards])
+    mask = np.asarray(meta.graph_mask).reshape(-1) > 0
+    real = arr.reshape(mask.shape[0], -1)[mask]
+    np.savez(f'{out}/eval_{n_proc}proc_{pid}.npz', logits=real)
+
+    # All processes must stay alive until every file has been written.
     if n_proc > 1:
         import jax.experimental.multihost_utils as mhu
         mhu.sync_global_devices('done')

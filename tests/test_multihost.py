@@ -74,6 +74,14 @@ def test_two_process_training_matches_single_process(tmp_path):
         np.testing.assert_allclose(one[k], two[k], atol=1e-5,
                                    err_msg=f'param leaf {k}')
 
+    # Eval: union of the processes' addressable-shard logits == the
+    # single-process logits (row placement differs; values match).
+    ev1 = np.sort(np.load(f'{out}/eval_1proc_0.npz')['logits'].ravel())
+    ev2 = np.sort(np.concatenate(
+        [np.load(f'{out}/eval_2proc_{p}.npz')['logits'].ravel()
+         for p in (0, 1)]))
+    np.testing.assert_allclose(ev1, ev2, atol=1e-5)
+
 
 def test_loader_striping_partitions_indices_exactly():
     """shard_index/num_shards stripes of the same seeded stream are a
