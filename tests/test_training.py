@@ -84,3 +84,19 @@ def test_nan_guard(tmp_path):
     with pytest.raises(FloatingPointError):
         train_main(['egnn', save, *TRAIN_FLAGS, '-ep', '50', '-b', '2',
                     '--num_devices', '1', '-lr', '1e12'])
+
+
+def test_train_batch_observability(tmp_path):
+    """Training logs the reference's per-batch mean active/decoy
+    predictions (ref point_neural_network_base.py:387-415) — folded into
+    the deferred loss fetch, so they must appear in metrics.jsonl."""
+    import json
+    save = str(tmp_path / 'obs_run')
+    train_main(['egnn', save, *TRAIN_FLAGS, '-ep', '1', '-b', '2',
+                '--num_devices', '1'])
+    keys = set()
+    with open(f'{save}/metrics.jsonl') as f:
+        for line in f:
+            keys.update(json.loads(line))
+    assert 'Mean active prediction (train)' in keys
+    assert 'Mean inactive prediction (train)' in keys
