@@ -57,17 +57,22 @@ def _use_pallas() -> bool:
 
 
 _EB_ROUND = int(os.environ.get('POINTVS_EB_ROUND', '512'))
+# Capacity headroom over the MEAN window load. The one-hot matmul cost is
+# linear in capacity, so the factor is a direct perf lever: smaller saves
+# FLOPs/DMA but makes the collator grow e_pad (recompile risk) more often
+# on skewed batches. 2.0 measured safe across the shipped datasets.
+_EB_FACTOR = float(os.environ.get('POINTVS_EB_FACTOR', '2.0'))
 
 
 def derive_max_eb(num_edges: int, num_segments: int,
                   window: int = WINDOW) -> int:
-    """Static per-window edge capacity from padded shapes: twice the mean
-    window load, at least 1024, rounded UP to a multiple of 512 (the
-    one-hot matmul cost is linear in this capacity; the old
-    power-of-two rounding wasted up to 2x — measured 10% of the whole
-    train step. POINTVS_EB_ROUND=0 restores pow2)."""
+    """Static per-window edge capacity from padded shapes:
+    ``POINTVS_EB_FACTOR`` (default 2) x the mean window load, at least
+    1024, rounded UP to a multiple of 512 (the old power-of-two rounding
+    wasted up to 2x — measured 10% of the whole train step.
+    POINTVS_EB_ROUND=0 restores pow2)."""
     mean_load = window * num_edges / max(num_segments, 1)
-    need = max(1024, int(2 * mean_load))
+    need = max(1024, int(_EB_FACTOR * mean_load))
     if _EB_ROUND >= 512:
         cap = -(-need // _EB_ROUND) * _EB_ROUND
         return min(cap, _pow2ceil(num_edges))
