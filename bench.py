@@ -225,41 +225,68 @@ def bench_tpu(samples, ds):
         e2e_tput = max(e2e_tput,
                        n_seen / (time.perf_counter() - start))
 
-    # Secondary: inference throughput (poses scored/sec).
-    eval_step = make_eval_step(model, 'classification', mesh)
-    logits = eval_step(params, dev_batch)
-    _sync(logits)
-    infer_tput, _ = _timed_tput(
-        lambda s: eval_step(params, dev_batch), logits,
-        len(samples), lambda s: s)
+    # Secondary metrics are individually fault-tolerant: the remote
+    # compile service has degraded windows (DEVELOPMENT.md round-3
+    # notes), and one hung secondary must not cost the whole capture.
+    def _secondary(fn):
+        try:
+            return fn()
+        except Exception as exc:  # pragma: no cover - environment flake
+            print(f'# secondary metric failed: {exc!r}', flush=True)
+            return 0.0
 
-    # Secondary: production-scale config (12 layers, softmax attention —
-    # the author-scale architecture family).
+    def _infer():
+        eval_step = make_eval_step(model, 'classification', mesh)
+        logits = eval_step(params, dev_batch)
+        _sync(logits)
+        tput, _ = _timed_tput(
+            lambda s: eval_step(params, dev_batch), logits,
+            len(samples), lambda s: s)
+        return tput
+
+    infer_tput = _secondary(_infer)
+
+    # Production-scale config (12 layers, softmax attention — the
+    # author-scale architecture family).
     deep = build_model(
         'egnn', dim_input=DIM_INPUT, k=K, dim_output=1,
         scan_layers=True, num_layers=12,
         edge_attention=True, softmax_attention=True, normalize=True,
         tanh=True, graphnorm=True, residual=True)
-    dparams = jax.jit(deep.init)(jax.random.PRNGKey(0), batch)
-    dopt = tx.init(dparams)
-    dparams = replicate(dparams, mesh)
-    dopt = replicate(dopt, mesh)
-    dstep = make_train_step(deep, tx, 'classification', 'mse', mesh)
-    for _ in range(WARMUP_STEPS):
-        dparams, dopt, dloss = dstep(dparams, dopt, dev_batch, lr, rng)
-    _sync(dloss)
-    deep_tput, (dparams, dopt, _) = _timed_tput(
-        lambda s: dstep(s[0], s[1], dev_batch, lr, rng),
-        (dparams, dopt, dloss), len(samples), lambda s: s[-1])
 
-    # Secondary: 12-layer inference (module forward — measured faster
-    # than the fused Pallas engine since the per-layer op fusion).
-    deep_eval = make_eval_step(deep, 'classification', mesh)
-    dlogits = deep_eval(dparams, dev_batch)
-    _sync(dlogits)
-    deep_infer_tput, _ = _timed_tput(
-        lambda s: deep_eval(dparams, dev_batch), dlogits,
-        len(samples), lambda s: s)
+    def _deep_train():
+        dparams = jax.jit(deep.init)(jax.random.PRNGKey(0), batch)
+        dopt = tx.init(dparams)
+        dparams = replicate(dparams, mesh)
+        dopt = replicate(dopt, mesh)
+        dstep = make_train_step(deep, tx, 'classification', 'mse', mesh)
+        for _ in range(WARMUP_STEPS):
+            dparams, dopt, dloss = dstep(dparams, dopt, dev_batch, lr,
+                                         rng)
+        _sync(dloss)
+        tput, (dparams2, _, _) = _timed_tput(
+            lambda s: dstep(s[0], s[1], dev_batch, lr, rng),
+            (dparams, dopt, dloss), len(samples), lambda s: s[-1])
+        return tput, dparams2
+
+    deep_res = _secondary(_deep_train)
+    deep_tput, dparams = (deep_res if isinstance(deep_res, tuple)
+                          else (0.0, None))
+
+    def _deep_infer():
+        # module forward — measured faster than the fused Pallas engine
+        # since the per-layer op fusion.
+        deep_eval = make_eval_step(deep, 'classification', mesh)
+        dp = dparams if dparams is not None else replicate(
+            jax.jit(deep.init)(jax.random.PRNGKey(0), batch), mesh)
+        dlogits = deep_eval(dp, dev_batch)
+        _sync(dlogits)
+        tput, _ = _timed_tput(
+            lambda s: deep_eval(dp, dev_batch), dlogits,
+            len(samples), lambda s: s)
+        return tput
+
+    deep_infer_tput = _secondary(_deep_infer)
     return train_tput, infer_tput, deep_tput, e2e_tput, deep_infer_tput
 
 
