@@ -236,3 +236,12 @@ def test_cli_graph_shard_matches_dp_only(tmp_path):
     p_gs = preds(f'{gs_dir}/pose_predictions.txt')
     assert len(p_dp) == len(p_gs) == 2
     np.testing.assert_allclose(p_dp, p_gs, atol=5e-4)
+
+    # Checkpoints from edge-sharded training stay single-device
+    # loadable (edge_shard_axis is injected at build time, never saved).
+    from pointvs_tpu.inference import main as infer_main
+    infer_main([gs_dir, 'tests/resources/test.types', 'tests/resources',
+                '--output_fname', 'gs_roundtrip.txt', '--num_devices',
+                '1'])
+    p_inf = preds(f'{gs_dir}/pose_gs_roundtrip.txt')
+    np.testing.assert_allclose(p_inf, p_gs, atol=5e-4)
