@@ -278,10 +278,14 @@ class EdgeAggregator:
         # Single-pass Pallas kernel (masked segment max + exp weighting +
         # contraction in VMEM) when unsharded f32 on TPU; the edge-sharded
         # path needs a cross-device pmax BETWEEN max and exp, so it stays
-        # on the composable formulation below.
+        # on the composable formulation below. POINTVS_FUSED_SOFTMAX=0
+        # disables just this kernel (A/B without losing the scatter
+        # kernel).
+        import os
         from pointvs_tpu.ops.sorted_segment import _use_pallas
         k = edge_feat.shape[1]
         if (self.axis_name is None and mask is not None
+                and os.environ.get('POINTVS_FUSED_SOFTMAX', '1') != '0'
                 and edge_feat.dtype == jnp.float32
                 and flat.dtype == jnp.float32
                 and edge_feat.shape[0] >= 4 * WINDOW):
