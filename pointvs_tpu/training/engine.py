@@ -375,9 +375,12 @@ class Trainer:
                     loss_val = losses[-1] if losses else float('nan')
                     elapsed = time.time() - start
                     eta = elapsed / done_steps * (total_steps - done_steps)
-                    if self.model_task == 'classification':
+                    if (self.model_task == 'classification'
+                            and self.graph_shard == 1):
                         # Reference logs these every train batch
-                        # (point_neural_network_base.py:459-463).
+                        # (point_neural_network_base.py:459-463). The 2-D
+                        # edge-sharded step is loss-only, so the means
+                        # would be stale placeholders there.
                         self.logger.log({
                             'Mean active prediction (train)':
                                 self.active_mean_pred,
