@@ -204,6 +204,20 @@ class EGNNLayer(nn.Module):
                 att_logits.astype(coord.dtype), trans, mask=edge_mask)
             agg_feats = agg_feats.astype(h.dtype)
             coord = coord + coord_delta
+        elif (self.edge_attention and not self.softmax_attention
+              and self.attention_activation_fn == 'sigmoid'
+              and (fuse_ops or mixed_fuse) and self.update_coords
+              and not capture_aux):
+            # Sigmoid edge attention: fold the attention weighting into
+            # the aggregation kernel too (no per-edge att*feat product
+            # materialised in HBM).
+            att_logits = self.att_mlp(edge_feat)
+            trans = coord_diff * self.coord_mlp(edge_feat, train=train)
+            agg_feats, coord_delta = agg.fused_sigmoid_aggregate(
+                edge_feat.astype(coord.dtype),
+                att_logits.astype(coord.dtype), trans, mask=edge_mask)
+            agg_feats = agg_feats.astype(h.dtype)
+            coord = coord + coord_delta
         else:
             if self.edge_attention:
                 att_logits = self.att_mlp(edge_feat)

@@ -93,6 +93,52 @@ def _fsp_bwd(num_segments, window, max_eb, interpret, res, cts):
 _fused_softmax_pallas.defvjp(_fsp_fwd, _fsp_bwd)
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _fused_sigmoid_pallas(feat, logits, trans, mask, senders,
+                          num_segments, window, max_eb, interpret=False):
+    """(sum sigmoid(logits)*feat, mean trans) in one kernel pass — the
+    sigmoid-edge-attention analogue of _fused_softmax_pallas (no
+    normalisation, so no max pass). Replaces the HBM-materialised
+    att*feat product + packed scatter of the composable path."""
+    out, _ = _fsg_fwd(feat, logits, trans, mask, senders, num_segments,
+                      window, max_eb, interpret)
+    return out
+
+
+def _fsg_fwd(feat, logits, trans, mask, senders, num_segments, window,
+             max_eb, interpret=False):
+    from pointvs_tpu.ops.pallas.segment_kernels import \
+        pallas_fused_softmax_aggregate
+    k = feat.shape[1]
+    out, _ = pallas_fused_softmax_aggregate(
+        feat, logits, trans, mask, senders, num_segments, window, max_eb,
+        interpret=interpret, mode='sigmoid')
+    counts_raw = out[:, k + 5]
+    counts_c = jnp.maximum(counts_raw, 1.0)
+    feat_agg = out[:, :k]
+    coord_mean = out[:, k:k + 3] / counts_c[:, None]
+    res = (feat, logits, mask, senders, counts_c)
+    return (feat_agg, coord_mean), res
+
+
+def _fsg_bwd(num_segments, window, max_eb, interpret, res, cts):
+    feat, logits, mask, senders, counts_c = res
+    g_f, g_c = cts
+    clamped = jnp.minimum(senders, num_segments - 1)
+    valid = (senders < num_segments).astype(feat.dtype)
+    sig = jax.nn.sigmoid(logits)
+    w = sig * mask.astype(logits.dtype) * valid
+    gfe = g_f[clamped] * valid[:, None]
+    d_feat = gfe * w[:, None]
+    d_logits = (gfe * feat).sum(-1) * w * (1.0 - sig)
+    d_trans = ((g_c / counts_c[:, None])[clamped] * valid[:, None]
+               * mask[:, None].astype(feat.dtype))
+    return d_feat, d_logits, d_trans, None, None
+
+
+_fused_sigmoid_pallas.defvjp(_fsg_fwd, _fsg_bwd)
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(3,))
 def _gather_unsorted(node_values, ids, ids_sorted_with_perm, num_segments):
     """node_values[ids] for UNSORTED ids; backward scatters via the
@@ -328,6 +374,34 @@ class EdgeAggregator:
         feat_agg = out[:, :k] / denom
         counts = jnp.maximum(out[:, k + 4:k + 5], 1.0)
         return feat_agg, out[:, k:k + 3] / counts
+
+    def fused_sigmoid_aggregate(self, edge_feat, logits, trans,
+                                mask=None):
+        """(sum sigmoid(logits)*feat, mean trans) per destination — the
+        sigmoid-edge-attention aggregation in ONE kernel pass on TPU
+        (falls back to the composable ops elsewhere)."""
+        import os
+        mask = self.edge_mask if mask is None else mask
+        flat = logits[:, 0] if (logits.ndim == 2
+                                and logits.shape[-1] == 1) else logits
+        from pointvs_tpu.ops.sorted_segment import _use_pallas
+        k = edge_feat.shape[1]
+        if (self.axis_name is None and mask is not None
+                and os.environ.get('POINTVS_FUSED_SOFTMAX', '1') != '0'
+                and edge_feat.dtype == jnp.float32
+                and flat.dtype == jnp.float32
+                and edge_feat.shape[0] >= 4 * WINDOW):
+            max_eb = derive_max_eb(edge_feat.shape[0], self.num_nodes)
+            kp = k + 6 + (-(k + 6)) % 8
+            vmem_ok = max_eb * (1024 + 4 * kp + 64) < 80 * 1024 * 1024
+            if _use_pallas() and vmem_ok:
+                return _fused_sigmoid_pallas(
+                    edge_feat, flat, trans.astype(edge_feat.dtype),
+                    mask.astype(edge_feat.dtype), self.senders,
+                    self.num_nodes, WINDOW, max_eb, False)
+        att = jax.nn.sigmoid(flat)[:, None]
+        return self.fused_sum_mean_to_src(att * edge_feat, trans,
+                                          mask=mask)
 
     def fused_sum_mean_to_src(self, messages, trans, mask=None):
         """(segment_sum(messages), segment_mean(trans)) in ONE windowed

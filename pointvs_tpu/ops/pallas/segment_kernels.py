@@ -78,7 +78,8 @@ def _kernel(starts_ref, ids_ref, data_t_ref, out_ref,
 
 def _softmax_agg_kernel(starts_ref, ids_ref, data_t_ref, out_ref, max_ref,
                         data_scratch, ids_scratch, sems, *, window: int,
-                        max_eb: int, nb: int, k: int):
+                        max_eb: int, nb: int, k: int,
+                        mode: str = 'softmax'):
     """Fused per-window softmax aggregation (see
     pallas_fused_softmax_aggregate): one DMA of the packed slice, the
     masked segment max, the exp-shift weighting and the one-hot MXU
@@ -121,21 +122,27 @@ def _softmax_agg_kernel(starts_ref, ids_ref, data_t_ref, out_ref, max_ref,
     logits = data[k + 3:k + 4, :]                     # [1, max_eb]
     mask = data[k + 5:k + 6, :]                       # [1, max_eb]
 
-    # Masked per-destination max (the softmax stabiliser).
-    cand = jnp.where((onehot > 0.5) & (mask > 0.0),
-                     jnp.broadcast_to(logits, (window, max_eb)),
-                     jnp.float32(-1e30))
-    seg_max = jnp.max(cand, axis=1, keepdims=True)    # [window, 1]
-    seg_max = jnp.where(seg_max > -1e29, seg_max, 0.0)
-    max_ref[:] = seg_max
+    if mode == 'softmax':
+        # Masked per-destination max (the softmax stabiliser).
+        cand = jnp.where((onehot > 0.5) & (mask > 0.0),
+                         jnp.broadcast_to(logits, (window, max_eb)),
+                         jnp.float32(-1e30))
+        seg_max = jnp.max(cand, axis=1, keepdims=True)  # [window, 1]
+        seg_max = jnp.where(seg_max > -1e29, seg_max, 0.0)
+        max_ref[:] = seg_max
 
-    # Per-edge shift = seg_max[local id] via the one-hot (edges outside
-    # the window get 0; their output contribution is killed by onehot).
-    shift = jax.lax.dot_general(
-        seg_max, onehot, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)          # [1, max_eb]
-    expd = jnp.exp(logits - shift) * mask             # [1, max_eb]
+        # Per-edge shift = seg_max[local id] via the one-hot (edges
+        # outside the window get 0; their output contribution is killed
+        # by onehot).
+        shift = jax.lax.dot_general(
+            seg_max, onehot, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)      # [1, max_eb]
+        expd = jnp.exp(logits - shift) * mask         # [1, max_eb]
+    else:
+        # Sigmoid edge attention: per-edge weight, no normalisation.
+        max_ref[:] = jnp.zeros((window, 1), jnp.float32)
+        expd = jax.nn.sigmoid(logits) * mask          # [1, max_eb]
 
     # Row factors: feat rows and the ones row x expd, trans rows x mask,
     # the logits row x 0 (dead output), the mask row x 1.
@@ -154,19 +161,23 @@ def _softmax_agg_kernel(starts_ref, ids_ref, data_t_ref, out_ref, max_ref,
 
 
 @functools.partial(jax.jit, static_argnames=('num_segments', 'window',
-                                             'max_eb', 'interpret'))
+                                             'max_eb', 'interpret',
+                                             'mode'))
 def pallas_fused_softmax_aggregate(
         feat: jnp.ndarray, logits: jnp.ndarray, trans: jnp.ndarray,
         mask: jnp.ndarray, sorted_ids: jnp.ndarray, num_segments: int,
-        window: int, max_eb: int, interpret: bool = False):
-    """Softmax-attention aggregation in ONE kernel pass.
+        window: int, max_eb: int, interpret: bool = False,
+        mode: str = 'softmax'):
+    """Attention-weighted aggregation in ONE kernel pass.
 
     Inputs: feat [E, K] edge features, logits [E] attention logits,
     trans [E, 3] coordinate updates, mask [E], ids sorted ascending with
     padding == num_segments. Returns (out [num_segments, K+6],
     seg_max [num_segments]) where out columns are
-    [sum feat*expd (K) | sum trans*mask (3) | dead | sum expd | sum mask]
-    with expd = exp(logits - seg_max[id]) * mask.
+    [sum feat*w (K) | sum trans*mask (3) | dead | sum w | sum mask] with
+    w = exp(logits - seg_max[id]) * mask  (mode='softmax'; the caller
+    divides by sum w) or w = sigmoid(logits) * mask (mode='sigmoid';
+    unnormalised, seg_max output is zeros).
     """
     e, k = feat.shape
     nb = -(-num_segments // window)
@@ -213,7 +224,7 @@ def pallas_fused_softmax_aggregate(
     )
     out, seg_max = pl.pallas_call(
         functools.partial(_softmax_agg_kernel, window=window,
-                          max_eb=max_eb, nb=nb, k=k),
+                          max_eb=max_eb, nb=nb, k=k, mode=mode),
         out_shape=[
             jax.ShapeDtypeStruct((nb * window, kp), jnp.float32),
             jax.ShapeDtypeStruct((nb * window, 1), jnp.float32),

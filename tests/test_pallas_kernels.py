@@ -142,3 +142,48 @@ def test_fused_softmax_aggregate_kernel_grads():
         np.testing.assert_allclose(np.asarray(gg), np.asarray(rg),
                                    atol=3e-5, rtol=1e-4,
                                    err_msg=f'grad {name}')
+
+
+def test_fused_sigmoid_aggregate_kernel():
+    """Sigmoid-attention fused kernel: forward and custom VJP match the
+    composable sigmoid + packed-scatter formulation."""
+    from pointvs_tpu.ops.aggregate import (EdgeAggregator,
+                                           _fused_sigmoid_pallas)
+    n, e, k = 512, 4096, 16
+    ids, feat, logits, trans, mask = _softmax_setup(seed=9, n=n, e=e, k=k)
+    max_eb = derive_max_eb(e, n)
+    agg = EdgeAggregator(jnp.asarray(ids), jnp.asarray(ids), None,
+                         jnp.asarray(mask), n)
+
+    def ref(f, l, t):
+        att = jax.nn.sigmoid(l)[:, None]
+        return agg.fused_sum_mean_to_src(att * f, t,
+                                         mask=jnp.asarray(mask))
+
+    def got(f, l, t):
+        return _fused_sigmoid_pallas(
+            f, l, t, jnp.asarray(mask), jnp.asarray(ids), n, WINDOW,
+            max_eb, True)
+
+    args = (jnp.asarray(feat), jnp.asarray(logits), jnp.asarray(trans))
+    rf, rc = ref(*args)
+    gf, gc = got(*args)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(rf),
+                               atol=2e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gc), np.asarray(rc),
+                               atol=2e-5, rtol=1e-5)
+
+    def loss(fn):
+        def run(f, l, t):
+            a, c = fn(f, l, t)
+            return (jnp.sum(a * jnp.sin(jnp.arange(a.size
+                                                   ).reshape(a.shape)))
+                    + 0.5 * jnp.sum(c))
+        return run
+
+    rg = jax.grad(loss(ref), argnums=(0, 1, 2))(*args)
+    gg = jax.grad(loss(got), argnums=(0, 1, 2))(*args)
+    for r, g, name in zip(rg, gg, ('feat', 'logits', 'trans')):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   atol=3e-5, rtol=1e-4,
+                                   err_msg=f'grad {name}')
