@@ -178,6 +178,10 @@ def main(argv=None):
         if args.model not in ('egnn', 'lucid', 'en_transformer'):
             raise SystemExit('--graph_shard supports the egnn, lucid and '
                              'en_transformer models')
+        if args.multihost:
+            raise SystemExit('--graph_shard with --multihost is not '
+                             'supported yet: per-process 2-D batch '
+                             'assembly has no test coverage')
 
     args.hostname = socket.gethostname()
     args.slurm_jobid = os.getenv('SLURM_JOBID')
