@@ -201,7 +201,8 @@ class EGNNLayer(nn.Module):
             trans = coord_diff * self.coord_mlp(edge_feat, train=train)
             agg_feats, coord_delta = agg.fused_softmax_aggregate(
                 edge_feat.astype(coord.dtype),
-                att_logits.astype(coord.dtype), trans, mask=edge_mask)
+                att_logits.astype(coord.dtype), trans, mask=edge_mask,
+                train=train)
             agg_feats = agg_feats.astype(h.dtype)
             coord = coord + coord_delta
         elif (self.edge_attention and not self.softmax_attention
@@ -215,7 +216,8 @@ class EGNNLayer(nn.Module):
             trans = coord_diff * self.coord_mlp(edge_feat, train=train)
             agg_feats, coord_delta = agg.fused_sigmoid_aggregate(
                 edge_feat.astype(coord.dtype),
-                att_logits.astype(coord.dtype), trans, mask=edge_mask)
+                att_logits.astype(coord.dtype), trans, mask=edge_mask,
+                train=train)
             agg_feats = agg_feats.astype(h.dtype)
             coord = coord + coord_delta
         else:

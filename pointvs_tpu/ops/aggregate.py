@@ -305,7 +305,8 @@ class EdgeAggregator:
         return self._psum(windowed_segment_sum(
             self._masked(data, mask), self.senders, self.num_nodes))
 
-    def fused_softmax_aggregate(self, edge_feat, logits, trans, mask=None):
+    def fused_softmax_aggregate(self, edge_feat, logits, trans, mask=None,
+                                train=False):
         """Softmax-attention aggregation + coordinate mean in ONE scatter.
 
         Per-destination softmax(logits) weighting of edge_feat, aggregated
@@ -322,15 +323,19 @@ class EdgeAggregator:
         flat = logits[:, 0] if squeeze else logits
 
         # Single-pass Pallas kernel (masked segment max + exp weighting +
-        # contraction in VMEM) when unsharded f32 on TPU; the edge-sharded
-        # path needs a cross-device pmax BETWEEN max and exp, so it stays
-        # on the composable formulation below. POINTVS_FUSED_SOFTMAX=0
-        # disables just this kernel (A/B without losing the scatter
-        # kernel).
+        # contraction in VMEM) when unsharded f32 on TPU — INFERENCE
+        # ONLY: its recompute VJP measures 26% slower through a 12L
+        # train step than the composable formulation's autodiff
+        # backward (76.3 vs 60.7 ms D2H-fenced), while the forward-only
+        # eval is 1.5x faster (1,526 vs 996 poses/s at 12L). The
+        # edge-sharded path also stays composable (it needs a
+        # cross-device pmax BETWEEN max and exp).
+        # POINTVS_FUSED_SOFTMAX=0 disables just this kernel (A/B
+        # without losing the scatter kernel).
         import os
         from pointvs_tpu.ops.sorted_segment import _use_pallas
         k = edge_feat.shape[1]
-        if (self.axis_name is None and mask is not None
+        if (not train and self.axis_name is None and mask is not None
                 and os.environ.get('POINTVS_FUSED_SOFTMAX', '1') != '0'
                 and edge_feat.dtype == jnp.float32
                 and flat.dtype == jnp.float32
@@ -376,17 +381,19 @@ class EdgeAggregator:
         return feat_agg, out[:, k:k + 3] / counts
 
     def fused_sigmoid_aggregate(self, edge_feat, logits, trans,
-                                mask=None):
+                                mask=None, train=False):
         """(sum sigmoid(logits)*feat, mean trans) per destination — the
         sigmoid-edge-attention aggregation in ONE kernel pass on TPU
-        (falls back to the composable ops elsewhere)."""
+        (falls back to the composable ops elsewhere). Inference-only
+        like the softmax kernel: the recompute VJP loses to the
+        composable backward in training."""
         import os
         mask = self.edge_mask if mask is None else mask
         flat = logits[:, 0] if (logits.ndim == 2
                                 and logits.shape[-1] == 1) else logits
         from pointvs_tpu.ops.sorted_segment import _use_pallas
         k = edge_feat.shape[1]
-        if (self.axis_name is None and mask is not None
+        if (not train and self.axis_name is None and mask is not None
                 and os.environ.get('POINTVS_FUSED_SOFTMAX', '1') != '0'
                 and edge_feat.dtype == jnp.float32
                 and flat.dtype == jnp.float32

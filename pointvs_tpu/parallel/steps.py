@@ -211,3 +211,49 @@ def make_eval_step(model, model_task: Optional[str], mesh: Mesh,
         return pytree_eval(params, batch)
 
     return step
+
+
+def make_scan_eval_step(model, model_task: Optional[str], mesh: Mesh,
+                        axis_name: str = 'dp', multitask: bool = False,
+                        unroll: int = 1) -> Callable:
+    """Returns jitted step(params, mega[G, D, nbytes], template) ->
+    logits [G, D, B/D, out]: a GROUP of packed batches scored by ONE
+    compiled program (lax.scan over the group axis).
+
+    On tunneled remote backends every separate executable invocation
+    pays a scheduling round trip that can dwarf the ~30 ms of device
+    compute (the screening loop measured ~1 s of overhead per batch
+    while the device sat >95% idle); scanning G batches inside one
+    program amortises that G-fold. All group members must share one
+    wire template — pointvs_tpu/screen.py guarantees this by pinning a
+    single padding bucket for the whole library.
+    """
+    apply_kwargs = {'task': model_task} if (multitask and model_task) else {}
+
+    def eval_core(params, batch):
+        return model.apply(params, batch, train=False, **apply_kwargs)[None]
+
+    cache = {}
+
+    def step(params, mega, template):
+        from pointvs_tpu.data.wire import decompress, unpack
+        key = (tuple(mega.shape), type(template).__name__) + tuple(
+            (tuple(a.shape), str(a.dtype)) for a in template)
+        if key not in cache:
+            def device_scan(params, mega_shard):     # [G, 1, nbytes]
+                def body(carry, buf):                # buf [1, nbytes]
+                    return carry, eval_core(
+                        params, decompress(unpack(buf[0], template)))
+                _, outs = jax.lax.scan(body, None, mega_shard,
+                                       unroll=unroll)
+                return outs                          # [G, 1, B, out]
+
+            sharded = shard_map(
+                device_scan, mesh=mesh,
+                in_specs=(P(), P(None, axis_name)),
+                out_specs=P(None, axis_name),
+                check_rep=False)
+            cache[key] = jax.jit(sharded)
+        return cache[key](params, mega)
+
+    return step

@@ -123,11 +123,12 @@ def screen(model_path, receptor, ligands, output='screen_results.csv',
     eval_fn = trainer._eval_step()
     # Pipeline: collation + wire packing run in the loader's producer
     # thread; packed batches are shipped in GROUPS of TRANSFER_GROUP via
-    # ONE device_put each (one [G, D, nbytes] mega-buffer), because on
-    # tunneled backends the per-transfer ROUND TRIP (~50-300 ms), not
-    # bytes or host compute (~0.1 s for the whole library) or device
-    # eval (~30 ms/batch), is what dominates the scoring loop. Logits
-    # drain AFTER all dispatches so transfers overlap device compute.
+    # ONE device_put each (one [G, D, nbytes] mega-buffer) and scored by
+    # ONE lax.scan program per group (steps.make_scan_eval_step), because
+    # on tunneled backends the per-transfer and per-EXECUTION round trips
+    # (~50 ms-1 s each), not bytes or host compute (~0.1 s for the whole
+    # library) or device eval (~30 ms/batch), dominate the scoring loop.
+    # Logits drain AFTER all dispatches so work overlaps.
     from pointvs_tpu.data.wire import (compress, pack_stacked,
                                        stacked_template)
 
@@ -137,30 +138,59 @@ def screen(model_path, receptor, ligands, output='screen_results.csv',
 
     dl.transfer_fn = pack_host
     dl.prefetch = max(dl.prefetch, 3)
-    TRANSFER_GROUP = 8
+    import os
+    TRANSFER_GROUP = int(os.environ.get('POINTVS_SCREEN_GROUP', '8'))
+    scan_eval = None
+    if (os.environ.get('POINTVS_SCREEN_SCAN', '1') != '0'
+            and getattr(trainer, 'graph_shard', 1) <= 1):
+        from pointvs_tpu.parallel.steps import make_scan_eval_step
+        scan_eval = make_scan_eval_step(
+            trainer.model, trainer.model_task, trainer.mesh,
+            multitask=trainer.multitask,
+            unroll=int(os.environ.get('POINTVS_SCREEN_UNROLL', '1')))
     rows = []
     start = time.perf_counter()
-    in_flight = []
+    in_flight = []       # ('batch', dev_logits, meta) | ('scan', outs, n, metas)
     group, group_meta = [], []
+    scan_g = None        # fixed group length => ONE compiled scan program
 
-    import os
     _dbg = os.environ.get('POINTVS_SCREEN_DEBUG') == '1'
 
-    def flush_group():
+    def flush_group(final=False):
+        nonlocal scan_g
         if not group:
             return
         import jax
         t0 = time.perf_counter()
-        mega = np.stack([g[1] for g in group])        # [G, D, nbytes]
-        mega_dev = jax.device_put(mega)               # ONE transfer
-        t1 = time.perf_counter()
-        for i, (tag, _buf, template) in enumerate(group):
-            dev = ('packed', mega_dev[i], template)
-            in_flight.append((eval_fn(trainer.params, dev),
-                              group_meta[i]))
+        template = group[0][2]
+        bufs = [g[1] for g in group]
+        n_real = len(bufs)
+        if scan_eval is not None:
+            # Pad short (final) groups by repeating the last buffer so a
+            # library of any size compiles at most one scan program; a
+            # library that fits in a single short group gets an
+            # exact-size program instead of paying the padded compute.
+            if scan_g is None:
+                scan_g = n_real if (final and n_real < TRANSFER_GROUP) \
+                    else TRANSFER_GROUP
+            bufs = bufs + [bufs[-1]] * (scan_g - n_real)
+            mega_dev = jax.device_put(np.stack(bufs))  # [G, D, nbytes]
+            t1 = time.perf_counter()
+            in_flight.append(('scan',
+                              scan_eval(trainer.params, mega_dev,
+                                        template),
+                              n_real, list(group_meta)))
+        else:
+            mega_dev = jax.device_put(np.stack(bufs))  # [G, D, nbytes]
+            t1 = time.perf_counter()
+            for i in range(n_real):
+                dev = ('packed', mega_dev[i], template)
+                in_flight.append(('batch',
+                                  eval_fn(trainer.params, dev),
+                                  group_meta[i]))
         if _dbg:
             LOG.info(f'flush: put {t1-t0:.2f}s dispatch '
-                     f'{time.perf_counter()-t1:.2f}s x{len(group)}')
+                     f'{time.perf_counter()-t1:.2f}s x{n_real}')
         group.clear()
         group_meta.clear()
 
@@ -171,14 +201,15 @@ def screen(model_path, receptor, ligands, output='screen_results.csv',
             if len(group) >= TRANSFER_GROUP:
                 flush_group()
         else:   # non-graph layouts fall back to per-batch transfer
-            in_flight.append((eval_fn(trainer.params,
+            in_flight.append(('batch',
+                              eval_fn(trainer.params,
                                       trainer._to_device(batch)), meta))
-    flush_group()
+    flush_group(final=True)
     if _dbg:
         LOG.info(f'all dispatched at {time.perf_counter()-start:.2f}s')
     _t_drain = time.perf_counter()
-    for dev_logits, meta in in_flight:
-        logits = np.asarray(dev_logits)
+
+    def score_one(logits, meta):
         logits = logits.reshape(-1, logits.shape[-1])
         mask = meta.graph_mask.reshape(-1) > 0
         scores = logits[mask]
@@ -188,6 +219,16 @@ def screen(model_path, receptor, ligands, output='screen_results.csv',
             scores = scores.mean(axis=1)
         for lig, score in zip(meta.lig_fnames, scores):
             rows.append({'ligand': lig, 'score': float(score)})
+
+    for item in in_flight:
+        if item[0] == 'scan':
+            _, outs, n_real, metas = item
+            arr = np.asarray(outs)               # [G, D, B, out]
+            for i in range(n_real):
+                score_one(arr[i], metas[i])
+        else:
+            _, dev_logits, meta = item
+            score_one(np.asarray(dev_logits), meta)
     if _dbg:
         LOG.info(f'drain took {time.perf_counter()-_t_drain:.2f}s')
     elapsed = time.perf_counter() - start

@@ -1,18 +1,26 @@
 """Library-screening CLI: ranked CSV + top-hit attributions end-to-end."""
-import pandas as pd
+import shutil
+
+import numpy as np
+import pytest
 
 from pointvs_tpu.main import main as train_main
 from pointvs_tpu.screen import screen
 
 
-def test_screen_pipeline(tmp_path):
-    model_dir = tmp_path / 'model'
-    train_main(['egnn', str(model_dir),
+@pytest.fixture(scope='module')
+def model_dir(tmp_path_factory):
+    path = tmp_path_factory.mktemp('screen_model') / 'model'
+    train_main(['egnn', str(path),
                 '--train_data_root_pose', 'tests/resources',
                 '--train_types_pose', 'tests/resources/test.types',
                 '--layers', '2', '-ep', '1', '-b', '2', '--compact',
                 '--egnn_attention', '--prefetch', '0',
                 '--num_devices', '1'])
+    return path
+
+
+def test_screen_pipeline(model_dir, tmp_path):
     out = tmp_path / 'hits.csv'
     df = screen(model_dir, 'tests/resources/rec_0.parquet',
                 'tests/resources/lig_0.parquet', output=str(out),
@@ -22,3 +30,30 @@ def test_screen_pipeline(tmp_path):
     assert len(df) == 1 and 0 <= df.score[0] <= 1
     attr_dir = out.parent / 'top_hit_attributions'
     assert any(attr_dir.glob('*_atom_masking.csv'))
+
+
+def test_screen_scan_groups_match_dispatch(model_dir, tmp_path,
+                                           monkeypatch):
+    """The one-program-per-group lax.scan scoring path (full groups +
+    a repeat-padded final group) produces the same ranked scores as
+    per-batch dispatch."""
+    lib = tmp_path / 'library'
+    lib.mkdir()
+    for i in range(5):
+        shutil.copy('tests/resources/lig_0.parquet',
+                    lib / f'lig_{i}.parquet')
+    monkeypatch.setenv('POINTVS_SCREEN_GROUP', '2')
+
+    def run(scan):
+        monkeypatch.setenv('POINTVS_SCREEN_SCAN', scan)
+        out = tmp_path / f'hits_{scan}.csv'
+        # batch_size 2 over 5 poses -> 3 batches -> one full group of 2
+        # plus a final 1-batch group padded by repetition.
+        return screen(model_dir, 'tests/resources/rec_0.parquet',
+                      str(lib), output=str(out), batch_size=2)
+
+    df_scan, df_ref = run('1'), run('0')
+    assert len(df_scan) == len(df_ref) == 5
+    scan_scores = df_scan.sort_values('ligand').score.to_numpy()
+    ref_scores = df_ref.sort_values('ligand').score.to_numpy()
+    np.testing.assert_allclose(scan_scores, ref_scores, atol=1e-6)
