@@ -130,11 +130,12 @@ def parse_args(argv=None):
                         help='bfloat16 feature-path activations (params, '
                              'geometry, head and loss stay f32): halves '
                              'activation memory for DEEP configs (e.g. '
-                             '48 layers). NOT a speed flag — the step is '
-                             'aggregation/HBM-bound and mixed dtype '
-                             'disqualifies the packed-gather fast path '
-                             '(D2H-fenced 0.80x at 12L/K=32); EGNN '
-                             'family only (ignored by other models)')
+                             '48 layers). bf16 features bitcast-pack '
+                             'into the fused f32 gathers so the fast '
+                             'path is preserved (D2H-fenced 1.04x at '
+                             '12L/K=32 — roughly speed-neutral; the step '
+                             'is aggregation/HBM-bound, not MLP-bound); '
+                             'EGNN family only (ignored by other models)')
     parser.add_argument('--remat', action='store_true',
                         help='Rematerialise each EGNN layer in backward '
                              '(jax.checkpoint): O(depth) activation memory '
