@@ -114,7 +114,11 @@ def _tiled_masked_scores(model, params, batch, gone_matrix: jnp.ndarray,
         y=jnp.zeros((c,) + batch.y.shape[1:], jnp.float32),
         graph_mask=jnp.ones((c,), jnp.float32),
         strain=jnp.tile(batch.strain, (c, 1)),
-        recv_perm=jnp.tile(batch.recv_perm, c) + perm_offsets)
+        recv_perm=jnp.tile(batch.recv_perm, c) + perm_offsets,
+        # Per-copy symmetry is preserved by tiling (masking only touches
+        # masks): inv_tiled[c*E + j] = c*E + inv[j].
+        inv_recv_perm=(None if getattr(batch, 'inv_recv_perm', None) is None
+                       else jnp.tile(batch.inv_recv_perm, c) + perm_offsets))
 
     out = model.apply(params, mega, **apply_kwargs)     # [C, dim_out]
     if out.shape[-1] > 1:

@@ -230,7 +230,7 @@ def _ids_from_counts(counts, total: int):
     ).astype(jnp.int32)
 
 
-def _decompress_v2(wire: WireBatchV2) -> GraphBatch:
+def _decompress_v2(wire: WireBatchV2, symmetric: bool = False) -> GraphBatch:
     """Device-side (jit-traceable, per-device arrays): V2 -> GraphBatch."""
     import jax.numpy as jnp
     n_pad = wire.coords.shape[-2]
@@ -262,14 +262,28 @@ def _decompress_v2(wire: WireBatchV2) -> GraphBatch:
         y=wire.y,
         graph_mask=wire.graph_mask,
         strain=wire.strain,
-        recv_perm=recv_perm)
+        recv_perm=recv_perm,
+        inv_recv_perm=_maybe_inv(recv_perm, symmetric))
 
 
-def decompress(wire) -> GraphBatch:
+def _maybe_inv(recv_perm, symmetric: bool):
+    """inv_recv_perm from the on-device recv_perm. ``symmetric`` is a
+    STATIC host-verified fact (the collator's
+    receivers[recv_perm] == senders check survives the wire as the 4th
+    element of the ('packed', buf, template, symmetric) tuple) — the
+    model branches on inv_recv_perm-is-None at trace time, so it cannot
+    be a traced value. argsort of a permutation is its inverse."""
+    import jax.numpy as jnp
+    if not symmetric:
+        return None
+    return jnp.argsort(recv_perm).astype(jnp.int32)
+
+
+def decompress(wire, symmetric: bool = False) -> GraphBatch:
     """Device-side (jit-traceable): WireBatch/V2 -> GraphBatch."""
     import jax.numpy as jnp
     if isinstance(wire, WireBatchV2):
-        return _decompress_v2(wire)
+        return _decompress_v2(wire, symmetric)
     n_pad = wire.coords.shape[-2]
     num_graphs = wire.graph_mask.shape[-1]
     node_feats = _unpack_feature_bits(wire.node_feats_bits, n_pad)
@@ -296,4 +310,5 @@ def decompress(wire) -> GraphBatch:
         y=wire.y,
         graph_mask=wire.graph_mask,
         strain=wire.strain,
-        recv_perm=recv_perm)
+        recv_perm=recv_perm,
+        inv_recv_perm=_maybe_inv(recv_perm, symmetric))

@@ -133,19 +133,28 @@ class EGNNLayer(nn.Module):
         fuse_ops = self.dtype is None and h.dtype == coord.dtype
         mixed_fuse = (not fuse_ops and h.dtype == jnp.bfloat16
                       and coord.dtype == jnp.float32)
+        sym = agg.inv_recv_perm is not None
         if fuse_ops:
             k = h.shape[1]
             pad = (-(k + 3)) % 8
             hc = jnp.concatenate(
                 [h, coord] + ([jnp.zeros((h.shape[0], pad), h.dtype)]
                               if pad else []), axis=1)
-            hc_s = agg.gather_src(hc)
-            hc_r = agg.gather_dst(hc)
+            if sym:
+                # Collator-verified symmetric edges: both endpoints from
+                # one gather, ONE backward scatter (agg.gather_pair).
+                hc_s, hc_r = agg.gather_pair(hc)
+            else:
+                hc_s = agg.gather_src(hc)
+                hc_r = agg.gather_dst(hc)
             h_s, coord_s = hc_s[:, :k], hc_s[:, k:k + 3]
             h_r, coord_r = hc_r[:, :k], hc_r[:, k:k + 3]
         elif mixed_fuse:
-            h_s, coord_s = agg.gather_hc_src(h, coord)
-            h_r, coord_r = agg.gather_hc_dst(h, coord)
+            if sym:
+                h_s, coord_s, h_r, coord_r = agg.gather_hc_pair(h, coord)
+            else:
+                h_s, coord_s = agg.gather_hc_src(h, coord)
+                h_r, coord_r = agg.gather_hc_dst(h, coord)
         else:
             coord_s = agg.gather_src(coord)
             coord_r = agg.gather_dst(coord)
@@ -425,7 +434,9 @@ class SartorrasEGNN(nn.Module):
         agg = EdgeAggregator(batch.senders, batch.receivers,
                              batch.recv_perm, edge_mask,
                              num_nodes=batch.node_feats.shape[0],
-                             axis_name=self.edge_shard_axis)
+                             axis_name=self.edge_shard_axis,
+                             inv_recv_perm=getattr(
+                                 batch, 'inv_recv_perm', None))
         if self.scan_layers:
             prev0 = jnp.zeros((batch.senders.shape[0], self.k), h.dtype)
             has_prev = jnp.arange(self.num_layers) > 0

@@ -25,6 +25,17 @@ from pointvs_tpu.ops.sorted_segment import (
 )
 
 
+def _gather_node_scalar(vec_n, ids, num_segments):
+    """vec_n[ids] for a per-NODE [N] vector and per-edge ids, routed
+    through an 8-lane ROW gather: XLA lowers the plain 1-D [N] -> [E]
+    gather to a scalar-memory-space op measured at ~1.04 ms per 156k
+    edges on v5e (7x the equivalent [N, K] row gather); broadcasting to
+    [N, 8] first puts it back on the fast row-gather path."""
+    clamped = jnp.minimum(ids, num_segments - 1)
+    rows = jnp.broadcast_to(vec_n[:, None], (vec_n.shape[0], 8))
+    return rows[clamped][:, 0]
+
+
 def _max_grad_factor(x, c):
     """Gradient of jnp.maximum(x, c) wrt x — including the 0.5 tie split
     (counts hit the tie at degree-1 destinations, so matching autodiff
@@ -78,15 +89,21 @@ def _fsp_bwd(num_segments, window, max_eb, interpret, res, cts):
 
     clamped = jnp.minimum(senders, num_segments - 1)
     valid = (senders < num_segments).astype(feat.dtype)
-    shift = seg_max[clamped] * valid
+    # All [N] -> [E] reads ride ONE row gather ([N, K+3+2] -> [E, ...]):
+    # per-lane 1-D gathers lower to the ~1 ms scalar-space op (see
+    # _gather_node_scalar); batched rows stay on the fast path.
+    packed_n = jnp.concatenate(
+        [dS_f, dS_t, seg_max[:, None], d_denom[:, None]], axis=1)
+    packed_e = packed_n[clamped] * valid[:, None]
+    k = feat.shape[1]
+    gfe = packed_e[:, :k]
+    shift = packed_e[:, k + 3]
     expd = jnp.exp(logits - shift) * mask.astype(logits.dtype) * valid
 
-    gfe = dS_f[clamped] * valid[:, None]
     d_feat = gfe * expd[:, None]
-    d_expd = (gfe * feat).sum(-1) + d_denom[clamped] * valid
+    d_expd = (gfe * feat).sum(-1) + packed_e[:, k + 4]
     d_logits = d_expd * expd
-    d_trans = (dS_t[clamped] * valid[:, None]
-               * mask[:, None].astype(trans.dtype))
+    d_trans = packed_e[:, k:k + 3] * mask[:, None].astype(trans.dtype)
     return d_feat, d_logits, d_trans, None, None
 
 
@@ -128,11 +145,15 @@ def _fsg_bwd(num_segments, window, max_eb, interpret, res, cts):
     valid = (senders < num_segments).astype(feat.dtype)
     sig = jax.nn.sigmoid(logits)
     w = sig * mask.astype(logits.dtype) * valid
-    gfe = g_f[clamped] * valid[:, None]
+    # One row gather for both node-indexed reads (narrow [N, 3] gathers
+    # risk the slow scalar-space lowering — see _gather_node_scalar).
+    packed_n = jnp.concatenate([g_f, g_c / counts_c[:, None]], axis=1)
+    packed_e = packed_n[clamped] * valid[:, None]
+    k = feat.shape[1]
+    gfe = packed_e[:, :k]
     d_feat = gfe * w[:, None]
     d_logits = (gfe * feat).sum(-1) * w * (1.0 - sig)
-    d_trans = ((g_c / counts_c[:, None])[clamped] * valid[:, None]
-               * mask[:, None].astype(feat.dtype))
+    d_trans = packed_e[:, k:k + 3] * mask[:, None].astype(feat.dtype)
     return d_feat, d_logits, d_trans, None, None
 
 
@@ -238,6 +259,88 @@ def _ghc_bwd(num_segments, res, cts):
 _gather_hc_mixed.defvjp(_ghc_fwd, _ghc_bwd)
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _gather_pair(hc, senders, recv_perm, inv_recv_perm, num_segments):
+    """(hc[senders], hc[receivers]) for a SYMMETRIC edge list in one node
+    gather: receivers[recv_perm] == senders elementwise (per-node
+    in-degree == out-degree, the collator-verified GraphBatch
+    .inv_recv_perm contract), so hc[receivers] == hc[senders][inv].
+
+    The win is the backward: both cotangents ride ONE windowed scatter
+    over the (sorted) senders — the destination side contributes via the
+    recv_perm PERMUTATION instead of its own scatter, removing one
+    windowed-scatter launch per layer."""
+    out, _ = _gp_fwd(hc, senders, recv_perm, inv_recv_perm, num_segments)
+    return out
+
+
+def _gp_fwd(hc, senders, recv_perm, inv_recv_perm, num_segments):
+    clamped = jnp.minimum(senders, num_segments - 1)
+    valid = (senders < num_segments).astype(hc.dtype)
+    hc_s = hc[clamped] * valid[:, None]
+    hc_r = hc_s[inv_recv_perm]
+    return (hc_s, hc_r), (senders, recv_perm)
+
+
+def _gp_bwd(num_segments, res, cts):
+    senders, recv_perm = res
+    g_s, g_r = cts
+    # VJP of hc_r = hc_s[inv]: d_hc_s = g_r[recv_perm] (inverse of the
+    # inverse); then one scatter carries both sides' cotangents.
+    g = g_s + g_r[recv_perm]
+    d_hc = windowed_segment_sum(g, senders, num_segments)
+    return d_hc, None, None, None
+
+
+_gather_pair.defvjp(_gp_fwd, _gp_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _gather_hc_pair_mixed(h, coord, senders, recv_perm, inv_recv_perm,
+                          num_segments):
+    """Symmetric-edge pair version of _gather_hc_mixed: bf16 features +
+    f32 coords bitcast-packed through ONE f32 node gather for BOTH edge
+    endpoints, with the single-scatter backward of _gather_pair."""
+    out, _ = _ghp_fwd(h, coord, senders, recv_perm, inv_recv_perm,
+                      num_segments)
+    return out
+
+
+def _ghp_fwd(h, coord, senders, recv_perm, inv_recv_perm, num_segments):
+    kh_orig = h.shape[1]
+    packed, kh = _pack_hc(h, coord)
+    clamped = jnp.minimum(senders, num_segments - 1)
+    valid = senders < num_segments
+    out_s = jnp.where(valid[:, None], packed[clamped], 0.0)
+    out_r = out_s[inv_recv_perm]
+
+    def split(out):
+        h_out = jax.lax.bitcast_convert_type(
+            out[:, :kh // 2], h.dtype).reshape(out.shape[0], kh)[:, :kh_orig]
+        coord_out = out[:, kh // 2:kh // 2 + 3].astype(coord.dtype)
+        return h_out, coord_out
+
+    return (*split(out_s), *split(out_r)), (senders, recv_perm)
+
+
+def _ghp_bwd(num_segments, res, cts):
+    senders, recv_perm = res
+    g_h_s, g_c_s, g_h_r, g_c_r = cts
+    h_dtype, kh = g_h_s.dtype, g_h_s.shape[1]
+    g_h = g_h_s.astype(jnp.float32) + g_h_r[recv_perm].astype(jnp.float32)
+    g_c = g_c_s.astype(jnp.float32) + g_c_r[recv_perm].astype(jnp.float32)
+    g = jnp.concatenate([g_h, g_c], axis=1)
+    pad = (-g.shape[1]) % 8
+    if pad:
+        g = jnp.concatenate(
+            [g, jnp.zeros((g.shape[0], pad), jnp.float32)], axis=1)
+    d = windowed_segment_sum(g, senders, num_segments)
+    return d[:, :kh].astype(h_dtype), d[:, kh:kh + 3], None, None, None
+
+
+_gather_hc_pair_mixed.defvjp(_ghp_fwd, _ghp_bwd)
+
+
 class EdgeAggregator:
     """Bound to one batch's edge layout; stateless wrt model params.
 
@@ -249,13 +352,20 @@ class EdgeAggregator:
     """
 
     def __init__(self, senders, receivers, recv_perm, edge_mask,
-                 num_nodes: int, axis_name: str | None = None):
+                 num_nodes: int, axis_name: str | None = None,
+                 inv_recv_perm=None):
         self.senders = senders
         self.receivers = receivers
         self.recv_perm = recv_perm
         self.edge_mask = edge_mask
         self.num_nodes = num_nodes
         self.axis_name = axis_name
+        # Inverse receiver permutation: present only for collator-verified
+        # SYMMETRIC edge lists (GraphBatch.inv_recv_perm contract) —
+        # enables the single-scatter gather_pair path. Ignored when
+        # edge-sharded (shards break the symmetry).
+        self.inv_recv_perm = None if axis_name is not None \
+            else inv_recv_perm
         # receivers in sorted order (gather: cheap, done once per step)
         self.receivers_sorted = jnp.sort(receivers) if recv_perm is None \
             else receivers[recv_perm]
@@ -289,6 +399,17 @@ class EdgeAggregator:
         return _gather_hc_mixed(
             h, coord, self.receivers,
             (self.recv_perm, self.receivers_sorted), self.num_nodes)
+
+    # Symmetric-edge fast path (inv_recv_perm is not None): both edge
+    # endpoints from one node gather; backward is ONE windowed scatter.
+    def gather_pair(self, hc):
+        return _gather_pair(hc, self.senders, self.recv_perm,
+                            self.inv_recv_perm, self.num_nodes)
+
+    def gather_hc_pair(self, h, coord):
+        return _gather_hc_pair_mixed(
+            h, coord, self.senders, self.recv_perm, self.inv_recv_perm,
+            self.num_nodes)
 
     # -- aggregations to the SOURCE index (satorras convention) -------- #
     def _masked(self, data, mask):
@@ -335,8 +456,12 @@ class EdgeAggregator:
         import os
         from pointvs_tpu.ops.sorted_segment import _use_pallas
         k = edge_feat.shape[1]
-        if (not train and self.axis_name is None and mask is not None
-                and os.environ.get('POINTVS_FUSED_SOFTMAX', '1') != '0'
+        env = os.environ.get('POINTVS_FUSED_SOFTMAX', '1')
+        # env: '0' = kernel off, '1' = eval only (default), 'train' =
+        # eval + train (A/B knob; the custom-VJP train path lost to the
+        # composable backward when last measured — see DEVELOPMENT.md).
+        allowed = (env == 'train') or (env != '0' and not train)
+        if (allowed and self.axis_name is None and mask is not None
                 and edge_feat.dtype == jnp.float32
                 and flat.dtype == jnp.float32
                 and edge_feat.shape[0] >= 4 * WINDOW):
@@ -356,7 +481,7 @@ class EdgeAggregator:
             guarded, self.senders, self.num_nodes))
         seg_max = jnp.where(seg_max > -1e29, seg_max, 0.0)
         shift = jax.lax.stop_gradient(
-            seg_max[jnp.minimum(self.senders, self.num_nodes - 1)])
+            _gather_node_scalar(seg_max, self.senders, self.num_nodes))
         expd = jnp.exp(flat - shift)
         if mask is not None:
             expd = expd * mask.astype(expd.dtype)
@@ -458,14 +583,18 @@ class EdgeAggregator:
         # stop_gradient on the gathered shift: the max is a constant offset
         # for softmax, and killing its cotangent here avoids a scatter.
         shift = jax.lax.stop_gradient(
-            seg_max[jnp.minimum(self.senders, self.num_nodes - 1)])
+            _gather_node_scalar(seg_max, self.senders, self.num_nodes))
         expd = jnp.exp(flat - shift)
         if mask is not None:
             expd = expd * mask.astype(expd.dtype)
         denom = self._psum(windowed_segment_sum(
             expd, self.senders, self.num_nodes))
+        # 8-lane row gather (see _gather_node_scalar) with the windowed-
+        # scatter VJP: the broadcast's transpose sums the lanes back.
         denom_e = gather_by_sorted_ids(
-            jnp.maximum(denom, 1e-16), self.senders, self.num_nodes)
+            jnp.broadcast_to(jnp.maximum(denom, 1e-16)[:, None],
+                             (self.num_nodes, 8)),
+            self.senders, self.num_nodes)[:, 0]
         # padding edges gathered a masked 0/0 guard; their expd is 0 anyway
         out = expd / jnp.where(denom_e == 0, 1.0, denom_e)
         return out[:, None] if squeeze else out
@@ -487,7 +616,7 @@ class EdgeAggregator:
 
 def _agg_flatten(agg: 'EdgeAggregator'):
     children = (agg.senders, agg.receivers, agg.recv_perm, agg.edge_mask,
-                agg.receivers_sorted)
+                agg.receivers_sorted, agg.inv_recv_perm)
     aux = (agg.num_nodes, agg.axis_name)
     return children, aux
 
@@ -495,7 +624,7 @@ def _agg_flatten(agg: 'EdgeAggregator'):
 def _agg_unflatten(aux, children):
     obj = object.__new__(EdgeAggregator)
     (obj.senders, obj.receivers, obj.recv_perm, obj.edge_mask,
-     obj.receivers_sorted) = children
+     obj.receivers_sorted, obj.inv_recv_perm) = children
     obj.num_nodes, obj.axis_name = aux
     return obj
 

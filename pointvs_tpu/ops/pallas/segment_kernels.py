@@ -27,6 +27,33 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _split3(b):
+    """Exact 3-chunk bf16 split of f32 data: b == b1 + b2 + b3 up to the
+    full 24-bit mantissa (8 bits per chunk; the residuals are exact f32
+    subtractions)."""
+    b1 = b.astype(jnp.bfloat16)
+    r = b - b1.astype(jnp.float32)
+    b2 = r.astype(jnp.bfloat16)
+    b3 = (r - b2.astype(jnp.float32)).astype(jnp.bfloat16)
+    return b1, b2, b3
+
+
+def _onehot_dot(onehot, data, dims, onehot_first=True):
+    """dot_general between a 0/1 one-hot and f32 data in THREE native bf16
+    MXU passes instead of Precision.HIGHEST's six: the one-hot operand is
+    exactly representable in bf16, so splitting only the data operand
+    yields the same sum of exact products (HIGHEST's extra passes multiply
+    by the one-hot's zero low-order chunks)."""
+    oh = onehot.astype(jnp.bfloat16)
+    out = None
+    for chunk in _split3(data):
+        operands = (oh, chunk) if onehot_first else (chunk, oh)
+        p = jax.lax.dot_general(*operands, dimension_numbers=dims,
+                                preferred_element_type=jnp.float32)
+        out = p if out is None else out + p
+    return out
+
+
 def _kernel(starts_ref, ids_ref, data_t_ref, out_ref,
             data_scratch, ids_scratch, sems, *, window: int, max_eb: int,
             nb: int):
@@ -65,15 +92,13 @@ def _kernel(starts_ref, ids_ref, data_t_ref, out_ref,
     local = ids_scratch[slot, 0:1, :] - j * window   # [1, max_eb]
     win_iota = jax.lax.broadcasted_iota(
         jnp.int32, (window, max_eb), 0)
-    onehot = (win_iota == local).astype(data_t_ref.dtype)
-    # out[w, k] = sum_e onehot[w, e] * data_t[k, e]. HIGHEST precision:
-    # the default MXU path rounds f32 inputs to bf16, which fails the
-    # 3e-5 invariance gates.
-    out_ref[:] = jax.lax.dot_general(
+    onehot = (win_iota == local).astype(jnp.float32)
+    # out[w, k] = sum_e onehot[w, e] * data_t[k, e]; 3-pass split
+    # contraction (see _onehot_dot) — full f32 accuracy (the 3e-5
+    # invariance gates need it) at half HIGHEST's MXU passes.
+    out_ref[:] = _onehot_dot(
         onehot, data_scratch[slot],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)
+        dims=(((1,), (1,)), ((), ())))
 
 
 def _softmax_agg_kernel(starts_ref, ids_ref, data_t_ref, out_ref, max_ref,
@@ -134,10 +159,9 @@ def _softmax_agg_kernel(starts_ref, ids_ref, data_t_ref, out_ref, max_ref,
         # Per-edge shift = seg_max[local id] via the one-hot (edges
         # outside the window get 0; their output contribution is killed
         # by onehot).
-        shift = jax.lax.dot_general(
-            seg_max, onehot, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)      # [1, max_eb]
+        shift = _onehot_dot(
+            onehot, seg_max, dims=(((0,), (0,)), ((), ())),
+            onehot_first=False)                       # [1, max_eb]
         expd = jnp.exp(logits - shift) * mask         # [1, max_eb]
     else:
         # Sigmoid edge attention: per-edge weight, no normalisation.
@@ -154,10 +178,8 @@ def _softmax_agg_kernel(starts_ref, ids_ref, data_t_ref, out_ref, max_ref,
     factor = (sel_expd * expd + sel_mask * mask + sel_one)
     weighted = data * factor
 
-    out_ref[:] = jax.lax.dot_general(
-        onehot, weighted, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)
+    out_ref[:] = _onehot_dot(
+        onehot, weighted, dims=(((1,), (1,)), ((), ())))
 
 
 @functools.partial(jax.jit, static_argnames=('num_segments', 'window',

@@ -32,7 +32,11 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-WINDOW = 128
+# Node-window size for the one-hot scatter formulation. 128 measured
+# best at bench shapes (256 halves the grid-step count but the larger
+# [window, max_eb] one-hot compare/contract per program did not pay off);
+# env knob for per-deployment A/B.
+WINDOW = int(os.environ.get('POINTVS_WINDOW', '128'))
 # Matmul precision for the one-hot segment ops. HIGHEST (6-pass bf16) by
 # default — the E(3)-invariance gate is 3e-5 and f32 data must not be
 # silently truncated. POINTVS_SEGMENT_PRECISION=high selects 3-pass for

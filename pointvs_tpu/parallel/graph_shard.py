@@ -56,10 +56,15 @@ def shard_graph_batch(samples, num_devices: int, num_graphs=None,
             edge_mask[:n] = base.edge_mask[lo:hi]
         # senders stay sorted (slices of a sorted array); local recv perm
         recv_perm = np.argsort(receivers, kind='stable').astype(np.int32)
+        # inv_recv_perm dropped: edge shards are not symmetric (the pair
+        # of a shard-local edge may live on another shard), and the
+        # aggregator ignores the fast path when edge-sharded anyway.
         shards.append(base._replace(
             senders=senders, receivers=receivers, edge_attr=edge_attr,
-            edge_mask=edge_mask, recv_perm=recv_perm))
-    return GraphBatch(*[np.stack(arrs) for arrs in zip(*shards)])
+            edge_mask=edge_mask, recv_perm=recv_perm,
+            inv_recv_perm=None))
+    return GraphBatch(*[None if arrs[0] is None else np.stack(arrs)
+                        for arrs in zip(*shards)])
 
 
 def make_sharded_forward(model, mesh: Mesh, axis_name: str = 'gp',

@@ -112,15 +112,15 @@ def make_train_step(model, tx, model_task: str, regression_loss: str,
 
     packed_cache = {}
 
-    def packed_step_for(template):
-        key = (type(template).__name__,) + tuple(
+    def packed_step_for(template, symmetric):
+        key = (type(template).__name__, symmetric) + tuple(
             (tuple(a.shape), str(a.dtype)) for a in template)
         if key not in packed_cache:
             from pointvs_tpu.data.wire import decompress, unpack
 
             def device_step_packed(params, opt_state, buf, lr, rng):
                 wire = unpack(buf[0], template)
-                batch = decompress(wire)
+                batch = decompress(wire, symmetric)
                 return device_step_core(params, opt_state, batch, lr, rng)
 
             sharded_p = shard_map(
@@ -132,11 +132,11 @@ def make_train_step(model, tx, model_task: str, regression_loss: str,
         return packed_cache[key]
 
     def step(params, opt_state, batch, lr, rng):
-        if isinstance(batch, tuple) and len(batch) == 3 \
-                and batch[0] == 'packed':
-            _, buf, template = batch
-            return packed_step_for(template)(params, opt_state, buf, lr,
-                                             rng)
+        # NB type(), not isinstance(): GraphBatch is a NamedTuple.
+        if type(batch) is tuple and batch[0] == 'packed':
+            _, buf, template, *sym = batch
+            return packed_step_for(template, bool(sym and sym[0]))(
+                params, opt_state, buf, lr, rng)
         return pytree_step(params, opt_state, batch, lr, rng)
 
     return step
@@ -185,15 +185,15 @@ def make_eval_step(model, model_task: Optional[str], mesh: Mesh,
 
     packed_cache = {}
 
-    def packed_eval_for(template):
-        key = (type(template).__name__,) + tuple(
+    def packed_eval_for(template, symmetric):
+        key = (type(template).__name__, symmetric) + tuple(
             (tuple(a.shape), str(a.dtype)) for a in template)
         if key not in packed_cache:
             from pointvs_tpu.data.wire import decompress, unpack
 
             def device_eval_packed(params, buf):
                 return eval_core(params, decompress(
-                    unpack(buf[0], template)))
+                    unpack(buf[0], template), symmetric))
 
             sharded_p = shard_map(
                 device_eval_packed, mesh=mesh,
@@ -204,10 +204,11 @@ def make_eval_step(model, model_task: Optional[str], mesh: Mesh,
         return packed_cache[key]
 
     def step(params, batch):
-        if isinstance(batch, tuple) and len(batch) == 3 \
-                and batch[0] == 'packed':
-            _, buf, template = batch
-            return packed_eval_for(template)(params, buf)
+        # NB type(), not isinstance(): GraphBatch is a NamedTuple.
+        if type(batch) is tuple and batch[0] == 'packed':
+            _, buf, template, *sym = batch
+            return packed_eval_for(template, bool(sym and sym[0]))(
+                params, buf)
         return pytree_eval(params, batch)
 
     return step
@@ -235,15 +236,16 @@ def make_scan_eval_step(model, model_task: Optional[str], mesh: Mesh,
 
     cache = {}
 
-    def step(params, mega, template):
+    def step(params, mega, template, symmetric=False):
         from pointvs_tpu.data.wire import decompress, unpack
-        key = (tuple(mega.shape), type(template).__name__) + tuple(
-            (tuple(a.shape), str(a.dtype)) for a in template)
+        key = (tuple(mega.shape), type(template).__name__, symmetric) \
+            + tuple((tuple(a.shape), str(a.dtype)) for a in template)
         if key not in cache:
             def device_scan(params, mega_shard):     # [G, 1, nbytes]
                 def body(carry, buf):                # buf [1, nbytes]
                     return carry, eval_core(
-                        params, decompress(unpack(buf[0], template)))
+                        params, decompress(unpack(buf[0], template),
+                                           symmetric))
                 _, outs = jax.lax.scan(body, None, mega_shard,
                                        unroll=unroll)
                 return outs                          # [G, 1, B, out]

@@ -134,7 +134,8 @@ def screen(model_path, receptor, ligands, output='screen_results.csv',
 
     def pack_host(batch):
         wire = compress(batch)
-        return ('host_packed', pack_stacked(wire), stacked_template(wire))
+        return ('host_packed', pack_stacked(wire), stacked_template(wire),
+                getattr(batch, 'inv_recv_perm', None) is not None)
 
     dl.transfer_fn = pack_host
     dl.prefetch = max(dl.prefetch, 3)
@@ -163,6 +164,7 @@ def screen(model_path, receptor, ligands, output='screen_results.csv',
         import jax
         t0 = time.perf_counter()
         template = group[0][2]
+        symmetric = group[0][3]
         bufs = [g[1] for g in group]
         n_real = len(bufs)
         if scan_eval is not None:
@@ -178,13 +180,13 @@ def screen(model_path, receptor, ligands, output='screen_results.csv',
             t1 = time.perf_counter()
             in_flight.append(('scan',
                               scan_eval(trainer.params, mega_dev,
-                                        template),
+                                        template, symmetric),
                               n_real, list(group_meta)))
         else:
             mega_dev = jax.device_put(np.stack(bufs))  # [G, D, nbytes]
             t1 = time.perf_counter()
             for i in range(n_real):
-                dev = ('packed', mega_dev[i], template)
+                dev = ('packed', mega_dev[i], template, symmetric)
                 in_flight.append(('batch',
                                   eval_fn(trainer.params, dev),
                                   group_meta[i]))

@@ -266,8 +266,7 @@ class Trainer:
         DenseBatch) ship as plain sharded arrays. Idempotent: batches the
         loader already transferred (via its producer-thread transfer_fn)
         pass through untouched."""
-        if isinstance(batch, tuple) and len(batch) == 3 \
-                and batch[0] == 'packed':
+        if type(batch) is tuple and batch[0] == 'packed':
             return batch
         if self.graph_shard > 1:
             # [dp, gp, ...] pytree for the 2-D steps (no wire packing:
@@ -279,8 +278,12 @@ class Trainer:
         from pointvs_tpu.data.wire import (compress, pack_stacked,
                                            stacked_template)
         wire = compress(batch)
+        # 4th element: the collator's verified-symmetric-edges fact
+        # (GraphBatch.inv_recv_perm), a STATIC flag decompress uses to
+        # rebuild inv_recv_perm on device (wire._maybe_inv).
         return ('packed', shard_batch(pack_stacked(wire), self.mesh),
-                stacked_template(wire))
+                stacked_template(wire),
+                getattr(batch, 'inv_recv_perm', None) is not None)
 
     # ------------------------------------------------------------------ #
     def training_setup(self, data_loader, epochs: int,

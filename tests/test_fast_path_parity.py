@@ -107,13 +107,58 @@ def test_wire_roundtrip(prefer_v2):
     assert isinstance(wire, WireBatchV2 if prefer_v2 else WireBatch)
     buf = pack_stacked(wire)
     template = stacked_template(wire)
+    # The symmetric flag rides beside the template on the real packed
+    # path (engine._to_device) — decompress rebuilds inv_recv_perm from
+    # it so the roundtrip covers EVERY GraphBatch field.
+    sym = batch.inv_recv_perm is not None
 
     @jax.jit
     def roundtrip(b):
-        return decompress(unpack(b[0], template))
+        return decompress(unpack(b[0], template), symmetric=sym)
 
     got = roundtrip(buf)
     for field in batch._fields:
         np.testing.assert_array_equal(
             np.asarray(getattr(got, field)),
             np.asarray(getattr(batch, field)), err_msg=field)
+
+
+def test_symmetric_gather_pair_matches_general_path():
+    """The collator-verified symmetric fast path (GraphBatch.inv_recv_perm
+    -> EdgeAggregator.gather_pair: one node gather, ONE backward scatter)
+    must match the general two-scatter path in forward AND parameter/coord
+    gradients. Covers f32 (gather_pair) and bf16-features
+    (gather_hc_pair) variants."""
+    import jax
+    import jax.numpy as jnp
+    from pointvs_tpu.data.buckets import pad_graphs_to_batch
+    from pointvs_tpu.models import build_model
+    from pointvs_tpu.training.losses import loss_fn
+    from .setup_and_params import FAST_MODEL_KWARGS
+
+    ds = _dataset()
+    batch = pad_graphs_to_batch([ds[0], ds[1]], num_graphs=2)
+    assert batch.inv_recv_perm is not None, \
+        'radius-graph batches must be collator-verified symmetric'
+    stripped = batch._replace(inv_recv_perm=None)
+
+    for bf16 in (False, True):
+        model = build_model('egnn', bf16=bf16, **FAST_MODEL_KWARGS)
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), stripped)
+
+        def lo(p, b):
+            s, w = loss_fn(model.apply(p, b), b, 'classification', 'mse')
+            return s / jnp.maximum(w, 1.0)
+
+        for wrt, label in ((lambda b: jax.value_and_grad(lo)(params, b),
+                            'params'),):
+            v_gen, g_gen = jax.jit(wrt)(stripped)
+            v_sym, g_sym = jax.jit(wrt)(batch)
+            np.testing.assert_allclose(np.asarray(v_sym),
+                                       np.asarray(v_gen), atol=1e-6,
+                                       err_msg=f'{label} bf16={bf16}')
+            tol = 2e-3 if bf16 else 1e-5
+            jax.tree.map(
+                lambda a, b: np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), atol=tol, rtol=1e-4),
+                g_sym, g_gen)
