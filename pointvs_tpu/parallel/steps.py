@@ -228,6 +228,12 @@ def make_scan_eval_step(model, model_task: Optional[str], mesh: Mesh,
     program amortises that G-fold. All group members must share one
     wire template — pointvs_tpu/screen.py guarantees this by pinning a
     single padding bucket for the whole library.
+
+    ``unroll <= 0`` means FULL unroll (the group length). This is the
+    default via screen.py: a rolled scan body costs ~18 s per execution
+    on the tunneled backend (measured at G=8, 6L/80k-edge batches —
+    the same rolled-scan pathology as round 1's layer scan) where the
+    fully unrolled program runs the same group in ~2.6 s.
     """
     apply_kwargs = {'task': model_task} if (multitask and model_task) else {}
 
@@ -246,8 +252,9 @@ def make_scan_eval_step(model, model_task: Optional[str], mesh: Mesh,
                     return carry, eval_core(
                         params, decompress(unpack(buf[0], template),
                                            symmetric))
-                _, outs = jax.lax.scan(body, None, mega_shard,
-                                       unroll=unroll)
+                _, outs = jax.lax.scan(
+                    body, None, mega_shard,
+                    unroll=unroll if unroll > 0 else mega.shape[0])
                 return outs                          # [G, 1, B, out]
 
             sharded = shard_map(

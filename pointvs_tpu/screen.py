@@ -141,14 +141,23 @@ def screen(model_path, receptor, ligands, output='screen_results.csv',
     dl.prefetch = max(dl.prefetch, 3)
     import os
     TRANSFER_GROUP = int(os.environ.get('POINTVS_SCREEN_GROUP', '8'))
+    # Healthy-window A/B (2026-08-17, 1,160 poses, bs 256, hot): per-batch
+    # dispatch 4.9 s (236 poses/s) vs one-program scan 13.8 s — the scan
+    # mega-program pays a multi-second executable load per process plus a
+    # slower execution, and per-execution overhead is only ~0.5 s when the
+    # service is healthy. Scan remains the right call when the service
+    # degrades (~7.7 s per execution measured; 2.75x win at bs 64) —
+    # opt in with POINTVS_SCREEN_SCAN=1.
     scan_eval = None
-    if (os.environ.get('POINTVS_SCREEN_SCAN', '1') != '0'
+    if (os.environ.get('POINTVS_SCREEN_SCAN', '0') == '1'
             and getattr(trainer, 'graph_shard', 1) <= 1):
         from pointvs_tpu.parallel.steps import make_scan_eval_step
+        # unroll 0 = full: a ROLLED scan body costs ~18 s/execution on
+        # the tunneled backend (vs ~2.6 s fully unrolled, same group).
         scan_eval = make_scan_eval_step(
             trainer.model, trainer.model_task, trainer.mesh,
             multitask=trainer.multitask,
-            unroll=int(os.environ.get('POINTVS_SCREEN_UNROLL', '1')))
+            unroll=int(os.environ.get('POINTVS_SCREEN_UNROLL', '0')))
     rows = []
     start = time.perf_counter()
     in_flight = []       # ('batch', dev_logits, meta) | ('scan', outs, n, metas)
@@ -222,15 +231,20 @@ def screen(model_path, receptor, ligands, output='screen_results.csv',
         for lig, score in zip(meta.lig_fnames, scores):
             rows.append({'ligand': lig, 'score': float(score)})
 
-    for item in in_flight:
+    # Fetch all logit buffers CONCURRENTLY: each D2H materialisation is a
+    # ~0.5 s tunnel round trip (healthy) that would otherwise serialise;
+    # the buffers are tiny ([G?, D, B, out] floats) so latency, not
+    # bandwidth, is the cost. Threads overlap the round trips.
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=min(8, max(1, len(in_flight)))) as ex:
+        fetched = list(ex.map(lambda it: np.asarray(it[1]), in_flight))
+    for item, arr in zip(in_flight, fetched):
         if item[0] == 'scan':
-            _, outs, n_real, metas = item
-            arr = np.asarray(outs)               # [G, D, B, out]
+            _, _, n_real, metas = item           # arr [G, D, B, out]
             for i in range(n_real):
                 score_one(arr[i], metas[i])
         else:
-            _, dev_logits, meta = item
-            score_one(np.asarray(dev_logits), meta)
+            score_one(arr, item[2])
     if _dbg:
         LOG.info(f'drain took {time.perf_counter()-_t_drain:.2f}s')
     elapsed = time.perf_counter() - start
