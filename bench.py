@@ -134,8 +134,14 @@ def bench_tpu(samples, ds):
     total_edges = sum(s.num_edges for s in samples)
     n_pad = pick_bucket(total_nodes, DEFAULT_NODE_BUCKETS)
     e_pad = pick_bucket(total_edges, DEFAULT_EDGE_BUCKETS)
+    # Collate as the production loader does: per-batch measured scatter
+    # capacity instead of the shape-derived one (data/buckets.py
+    # dynamic_cap; 4.4x less scatter capacity at these shapes).
+    from pointvs_tpu.data.buckets import batch_scatter_cap
     batch = pad_graphs_to_batch(samples, num_graphs=N_GRAPHS,
-                                n_pad=n_pad, e_pad=e_pad)
+                                n_pad=n_pad, e_pad=e_pad,
+                                dynamic_cap=True)
+    cap_kw = {'cap': batch_scatter_cap(batch)}
     stacked = stack_device_batches([batch])
 
     model = build_model(
@@ -156,10 +162,11 @@ def bench_tpu(samples, ds):
     rng = jax.random.PRNGKey(1)
 
     for _ in range(WARMUP_STEPS):
-        params, opt_state, loss = step(params, opt_state, dev_batch, lr, rng)
+        params, opt_state, loss = step(params, opt_state, dev_batch, lr,
+                                       rng, **cap_kw)
     _sync(loss)
     train_tput, (params, opt_state, _) = _timed_tput(
-        lambda s: step(s[0], s[1], dev_batch, lr, rng),
+        lambda s: step(s[0], s[1], dev_batch, lr, rng, **cap_kw),
         (params, opt_state, loss), len(samples), lambda s: s[-1])
 
     # --- end-to-end: real hot training epochs through the loader (host
@@ -211,8 +218,10 @@ def bench_tpu(samples, ds):
         loss = None
         for _ in range(n_ep):
             for b, _meta in loader:
+                kw = ({'cap': _meta.cap}
+                      if getattr(_meta, 'cap', None) is not None else {})
                 params, opt_state, loss = step(params, opt_state, b,
-                                               lr, rng)
+                                               lr, rng, **kw)
                 n_seen += len(_meta.lig_fnames)
         _sync(loss)
         return params, opt_state, n_seen
@@ -237,10 +246,10 @@ def bench_tpu(samples, ds):
 
     def _infer():
         eval_step = make_eval_step(model, 'classification', mesh)
-        logits = eval_step(params, dev_batch)
+        logits = eval_step(params, dev_batch, **cap_kw)
         _sync(logits)
         tput, _ = _timed_tput(
-            lambda s: eval_step(params, dev_batch), logits,
+            lambda s: eval_step(params, dev_batch, **cap_kw), logits,
             len(samples), lambda s: s)
         return tput
 
@@ -262,10 +271,10 @@ def bench_tpu(samples, ds):
         dstep = make_train_step(deep, tx, 'classification', 'mse', mesh)
         for _ in range(WARMUP_STEPS):
             dparams, dopt, dloss = dstep(dparams, dopt, dev_batch, lr,
-                                         rng)
+                                         rng, **cap_kw)
         _sync(dloss)
         tput, (dparams2, _, _) = _timed_tput(
-            lambda s: dstep(s[0], s[1], dev_batch, lr, rng),
+            lambda s: dstep(s[0], s[1], dev_batch, lr, rng, **cap_kw),
             (dparams, dopt, dloss), len(samples), lambda s: s[-1])
         return tput, dparams2
 
@@ -279,10 +288,10 @@ def bench_tpu(samples, ds):
         deep_eval = make_eval_step(deep, 'classification', mesh)
         dp = dparams if dparams is not None else replicate(
             jax.jit(deep.init)(jax.random.PRNGKey(0), batch), mesh)
-        dlogits = deep_eval(dp, dev_batch)
+        dlogits = deep_eval(dp, dev_batch, **cap_kw)
         _sync(dlogits)
         tput, _ = _timed_tput(
-            lambda s: deep_eval(dp, dev_batch), dlogits,
+            lambda s: deep_eval(dp, dev_batch, **cap_kw), dlogits,
             len(samples), lambda s: s)
         return tput
 

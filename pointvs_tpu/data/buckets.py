@@ -173,8 +173,15 @@ def pad_graphs_to_batch(samples: Sequence[GraphSample],
                         node_buckets: Sequence[int] = DEFAULT_NODE_BUCKETS,
                         edge_buckets: Sequence[int] = DEFAULT_EDGE_BUCKETS,
                         n_pad: Optional[int] = None,
-                        e_pad: Optional[int] = None) -> GraphBatch:
-    """Concatenate samples and pad to bucketed static shapes."""
+                        e_pad: Optional[int] = None,
+                        dynamic_cap: bool = False) -> GraphBatch:
+    """Concatenate samples and pad to bucketed static shapes.
+
+    With ``dynamic_cap`` the collator does NOT grow ``e_pad`` to cover
+    the windowed scatter's shape-derived capacity; the caller must
+    measure the batch's realised max window load (``batch_scatter_cap``)
+    and run the step under ``ops.sorted_segment.edge_capacity_override``
+    (the loader/engine do this; see parallel/steps.py)."""
     if not samples:
         raise ValueError('pad_graphs_to_batch needs at least one sample')
     num_graphs = num_graphs or len(samples)
@@ -196,20 +203,21 @@ def pad_graphs_to_batch(samples: Sequence[GraphSample],
     # the edge arrays twice (the _required_e_pad recursion below stays as
     # the authoritative guard). One bincount per sample is ~free next to
     # the array fills it avoids.
-    from pointvs_tpu.ops.sorted_segment import WINDOW
-    nb_w = -(-n_pad // WINDOW) + 1
-    hist_s = np.zeros(nb_w, np.int64)
-    hist_r = np.zeros(nb_w, np.int64)
-    off = 0
-    for s in samples:
-        if s.num_edges:
-            hist_s += np.bincount((s.senders + off) // WINDOW,
-                                  minlength=nb_w)[:nb_w]
-            hist_r += np.bincount((s.receivers + off) // WINDOW,
-                                  minlength=nb_w)[:nb_w]
-        off += s.num_nodes
-    max_load = int(max(hist_s.max(initial=0), hist_r.max(initial=0)))
-    e_pad = max(e_pad, _e_pad_for_load(max_load, n_pad, e_pad))
+    if not dynamic_cap:
+        from pointvs_tpu.ops.sorted_segment import WINDOW
+        nb_w = -(-n_pad // WINDOW) + 1
+        hist_s = np.zeros(nb_w, np.int64)
+        hist_r = np.zeros(nb_w, np.int64)
+        off = 0
+        for s in samples:
+            if s.num_edges:
+                hist_s += np.bincount((s.senders + off) // WINDOW,
+                                      minlength=nb_w)[:nb_w]
+                hist_r += np.bincount((s.receivers + off) // WINDOW,
+                                      minlength=nb_w)[:nb_w]
+            off += s.num_nodes
+        max_load = int(max(hist_s.max(initial=0), hist_r.max(initial=0)))
+        e_pad = max(e_pad, _e_pad_for_load(max_load, n_pad, e_pad))
 
     feat_dim = samples[0].node_feats.shape[1]
     edge_dim = samples[0].edge_attr.shape[1] if samples[0].num_edges else 3
@@ -294,12 +302,13 @@ def pad_graphs_to_batch(samples: Sequence[GraphSample],
         # and padding (id n_pad) sits at the end.
         recv_perm = _argsort_ids(receivers, n_pad).astype(np.int32)
 
-    needed = _required_e_pad(senders, receivers, n_pad, e_pad)
-    if needed != e_pad:
-        # Rare dense batch: rebuild with enough edge padding that the
-        # windowed scatter's derived capacity covers the realised loads.
-        return pad_graphs_to_batch(samples, num_graphs=num_graphs,
-                                   n_pad=n_pad, e_pad=needed)
+    if not dynamic_cap:
+        needed = _required_e_pad(senders, receivers, n_pad, e_pad)
+        if needed != e_pad:
+            # Rare dense batch: rebuild with enough edge padding that the
+            # windowed scatter's derived capacity covers realised loads.
+            return pad_graphs_to_batch(samples, num_graphs=num_graphs,
+                                       n_pad=n_pad, e_pad=needed)
 
     # Symmetry detection for the single-scatter gather-pair fast path
     # (see GraphBatch.inv_recv_perm): O(E) numpy, ~0.1 ms per batch.
@@ -377,6 +386,22 @@ def _required_e_pad(senders, receivers, n_pad: int, e_pad: int) -> int:
         f'Graph too dense for the windowed scatter: a {WINDOW}-node '
         f'window has {max_load} incident edges (e_pad={e_pad}, '
         f'n_pad={n_pad}).')
+
+
+def batch_scatter_cap(batch: GraphBatch) -> int:
+    """Measure a collated batch's required windowed-scatter capacity:
+    the max per-window incident-edge count over BOTH aggregation
+    directions, rounded to the coarse capacity-bucket grid (see
+    ops.sorted_segment.cap_bucket). Both id streams are already sorted
+    (senders by construction; receivers via recv_perm), so this is two
+    O(n_pad/W log E) searchsorted passes plus one O(E) gather."""
+    from pointvs_tpu.ops.sorted_segment import WINDOW, cap_bucket
+    n_pad = batch.num_nodes
+    load = max(
+        _sorted_max_window_load(batch.senders, n_pad, WINDOW),
+        _sorted_max_window_load(batch.receivers[batch.recv_perm],
+                                n_pad, WINDOW))
+    return cap_bucket(load)
 
 
 def stack_device_batches(batches):

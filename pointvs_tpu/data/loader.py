@@ -28,6 +28,7 @@ from pointvs_tpu.data.buckets import (
     GraphBatch,
     GraphSample,
     SiamesePair,
+    batch_scatter_cap,
     bucket_sizes,
     pad_graphs_to_batch,
     pick_bucket,
@@ -47,16 +48,20 @@ class BatchMeta:
     """Host-side metadata for one batch (filenames line up with graph
     slots). ``y``/``graph_mask`` are host copies of the batch targets so
     consumers (predictions writers) never need to read them back from a
-    device-resident batch."""
+    device-resident batch. ``cap`` is the batch's measured windowed-
+    scatter capacity bucket (dynamic-cap loaders only; the step wrappers
+    consume it — see parallel/steps.py). It lives here, not on the
+    batch, so reading it never costs a D2H fetch."""
 
-    __slots__ = ('lig_fnames', 'rec_fnames', 'y', 'graph_mask')
+    __slots__ = ('lig_fnames', 'rec_fnames', 'y', 'graph_mask', 'cap')
 
     def __init__(self, lig_fnames: List[str], rec_fnames: List[str],
-                 y=None, graph_mask=None):
+                 y=None, graph_mask=None, cap=None):
         self.lig_fnames = lig_fnames
         self.rec_fnames = rec_fnames
         self.y = y
         self.graph_mask = graph_mask
+        self.cap = cap
 
 
 class GraphDataLoader:
@@ -125,6 +130,30 @@ class GraphDataLoader:
         # path is slow. Consumers still get (batch, meta); meta carries
         # host y/graph_mask for predictions writers.
         self.transfer_fn = None
+        # Per-batch scatter capacity (decoupled from e_pad): collation
+        # measures the realised max window load and ships it as meta.cap
+        # instead of growing e_pad on dense batches (which inflates every
+        # per-edge tensor AND the derived capacity — 1.47x edge padding
+        # at author scale). POINTVS_DYNAMIC_CAP=0 restores the coupled
+        # scheme. Graph layout only; the edge-sharded (graph_shard)
+        # collator keeps the shape-derived capacity.
+        # Multi-process runs must keep it OFF: each process measures only
+        # its local rows, and divergent caps would trace DIFFERENT
+        # programs for one collective step (deadlock). Multihost already
+        # pins buckets for the same reason.
+        import os
+        self.dynamic_cap = (
+            layout == 'graph' and graph_shard == 1 and num_shards == 1
+            and os.environ.get('POINTVS_DYNAMIC_CAP', '1') == '1')
+        # Sticky cap: meta.cap is the running MAX of measured caps, not
+        # the per-batch value. The step wrappers key their trace cache on
+        # the cap value, so per-batch caps would compile a fresh program
+        # whenever sampling composes a batch with a new (even SMALLER)
+        # bucket — measured as a 2.5x end-to-end regression. A monotone
+        # cap converges to one program within the first epoch (the coarse
+        # 1.35x bucket grid makes new records rare) and capacity-above-
+        # load is always numerically safe.
+        self._cap_high = 0
 
     def __len__(self):
         n = -(-len(self.dataset) // self.num_shards)
@@ -209,7 +238,12 @@ class GraphDataLoader:
             batch = pad_graphs_to_batch(
                 samples, num_graphs=self.batch_size,
                 node_buckets=self.node_buckets,
-                edge_buckets=self.edge_buckets)
+                edge_buckets=self.edge_buckets,
+                dynamic_cap=self.dynamic_cap)
+            if self.dynamic_cap:
+                self._cap_high = max(self._cap_high,
+                                     batch_scatter_cap(batch))
+                meta.cap = self._cap_high
             # Leading device axis [1, ...] so train/eval steps see one
             # layout regardless of mesh size.
             return stack_device_batches([batch]), meta
@@ -255,12 +289,19 @@ class GraphDataLoader:
                     n_pad=n_pad, e_pad=e_pad)
             else:
                 shard_batch = pad_graphs_to_batch(
-                    shard, num_graphs=per_dev, n_pad=n_pad, e_pad=e_pad)
+                    shard, num_graphs=per_dev, n_pad=n_pad, e_pad=e_pad,
+                    dynamic_cap=self.dynamic_cap)
             if is_dummy:
                 # Placeholder graphs must not count as real examples.
                 shard_batch = shard_batch._replace(
                     graph_mask=np.zeros_like(shard_batch.graph_mask))
             batches.append(shard_batch)
+        if self.dynamic_cap:
+            # One capacity for all shards (shapes — and therefore the
+            # compiled program — are shared across the device axis).
+            self._cap_high = max(self._cap_high,
+                                 *(batch_scatter_cap(b) for b in batches))
+            meta.cap = self._cap_high
         return stack_device_batches(batches), meta
 
     def _produce(self) -> Iterator[Tuple[GraphBatch, BatchMeta]]:
@@ -339,6 +380,13 @@ class GraphDataLoader:
                     cache.append(host_item)
                 yield out_item
         if cache is not None:
+            if self.dynamic_cap:
+                # Normalise cached caps to the pass-1 running max so every
+                # later pass replays ONE compiled program (metas captured
+                # early in pass 1 hold lower sticky values).
+                for _, m in cache:
+                    if m.cap is not None:
+                        m.cap = self._cap_high
             self._batch_cache = cache
 
 

@@ -67,6 +67,55 @@ _EB_ROUND = int(os.environ.get('POINTVS_EB_ROUND', '512'))
 # on skewed batches. 2.0 measured safe across the shipped datasets.
 _EB_FACTOR = float(os.environ.get('POINTVS_EB_FACTOR', '2.0'))
 
+# -- per-batch capacity override (the "dynamic cap" path) ---------------- #
+# The shape-derived capacity above couples capacity to e_pad: a dense
+# pocket whose realised max window load exceeds factor x mean forces the
+# collator to GROW e_pad, which inflates every per-edge tensor (gathers,
+# edge MLPs) *and* the derived capacity with it — measured 1.47x edge
+# padding overhead at author scale (edge_radius 10, estimate_bonds).
+# Instead the loader measures the realised max window load per batch,
+# rounds it to a coarse bucket grid (bounded program count), and the step
+# wrappers (parallel/steps.py) activate it here during tracing. The
+# override applies ONLY to scatters whose (num_segments, num_edges)
+# match the batch's (n_pad, e_pad) — i.e. the edge->node aggregations —
+# so pool/graph-level segment ops keep their shape-derived capacity.
+_CAP_OVERRIDE: tuple | None = None   # (n_pad, e_pad, cap)
+
+CAP_BUCKETS = [1024]
+while CAP_BUCKETS[-1] < (1 << 21):
+    CAP_BUCKETS.append(
+        -(-int(CAP_BUCKETS[-1] * 1.35) // 512) * 512)
+
+
+def cap_bucket(max_load: int) -> int:
+    """Smallest capacity bucket covering ``max_load`` (coarse geometric
+    grid so a dataset yields a handful of distinct compiled programs)."""
+    import bisect
+    idx = bisect.bisect_left(CAP_BUCKETS, max(max_load, 1))
+    if idx < len(CAP_BUCKETS):
+        return CAP_BUCKETS[idx]
+    return -(-max_load // 512) * 512
+
+
+class edge_capacity_override:
+    """Context manager activating a per-batch scatter capacity while a
+    step traces. No-op when ``cap`` is None."""
+
+    def __init__(self, n_pad: int, e_pad: int, cap: int | None):
+        self._value = None if cap is None else (n_pad, e_pad, int(cap))
+
+    def __enter__(self):
+        global _CAP_OVERRIDE
+        self._saved = _CAP_OVERRIDE
+        if self._value is not None:
+            _CAP_OVERRIDE = self._value
+        return self
+
+    def __exit__(self, *exc):
+        global _CAP_OVERRIDE
+        _CAP_OVERRIDE = self._saved
+        return False
+
 
 def derive_max_eb(num_edges: int, num_segments: int,
                   window: int = WINDOW) -> int:
@@ -74,7 +123,13 @@ def derive_max_eb(num_edges: int, num_segments: int,
     ``POINTVS_EB_FACTOR`` (default 2) x the mean window load, at least
     1024, rounded UP to a multiple of 512 (the old power-of-two rounding
     wasted up to 2x — measured 10% of the whole train step.
-    POINTVS_EB_ROUND=0 restores pow2)."""
+    POINTVS_EB_ROUND=0 restores pow2). Under an active
+    ``edge_capacity_override`` matching this scatter's shapes, the
+    loader-measured per-batch capacity is used instead."""
+    if _CAP_OVERRIDE is not None:
+        ov_n, ov_e, ov_cap = _CAP_OVERRIDE
+        if num_segments == ov_n and num_edges == ov_e:
+            return min(max(ov_cap, 1024), _pow2ceil(num_edges))
     mean_load = window * num_edges / max(num_segments, 1)
     need = max(1024, int(_EB_FACTOR * mean_load))
     if _EB_ROUND >= 512:

@@ -35,6 +35,17 @@ def _as_graph_batch(batch):
     return batch
 
 
+def _pad_shapes(tree):
+    """(n_pad, e_pad) from a batch or wire template — shape metadata
+    only, so this never touches device buffers. Works for GraphBatch,
+    WireBatch and WireBatchV2, stacked ([D, ...]) or not."""
+    from pointvs_tpu.data.wire import WireBatchV2
+    n_pad = tree.coords.shape[-2]
+    e_pad = (tree.recv_delta.shape[-1] if isinstance(tree, WireBatchV2)
+             else tree.senders.shape[-1])
+    return n_pad, e_pad
+
+
 def make_train_step(model, tx, model_task: str, regression_loss: str,
                     mesh: Mesh, axis_name: str = 'dp',
                     multitask: bool = False,
@@ -108,12 +119,22 @@ def make_train_step(model, tx, model_task: str, regression_loss: str,
         in_specs=(P(), P(), P(axis_name), P(), P()),
         out_specs=(P(), P(), P()),
         check_rep=False)
-    pytree_step = jax.jit(sharded, donate_argnums=(0, 1))
+
+    # One jit object per scatter capacity: the per-batch capacity (see
+    # ops.sorted_segment.edge_capacity_override) changes the traced
+    # program, so each cap value needs its own trace cache. cap=None is
+    # the legacy shape-derived capacity.
+    pytree_cache = {}
+
+    def pytree_step_for(cap):
+        if cap not in pytree_cache:
+            pytree_cache[cap] = jax.jit(sharded, donate_argnums=(0, 1))
+        return pytree_cache[cap]
 
     packed_cache = {}
 
-    def packed_step_for(template, symmetric):
-        key = (type(template).__name__, symmetric) + tuple(
+    def packed_step_for(template, symmetric, cap):
+        key = (type(template).__name__, symmetric, cap) + tuple(
             (tuple(a.shape), str(a.dtype)) for a in template)
         if key not in packed_cache:
             from pointvs_tpu.data.wire import decompress, unpack
@@ -131,13 +152,21 @@ def make_train_step(model, tx, model_task: str, regression_loss: str,
             packed_cache[key] = jax.jit(sharded_p, donate_argnums=(0, 1))
         return packed_cache[key]
 
-    def step(params, opt_state, batch, lr, rng):
+    from pointvs_tpu.ops.sorted_segment import edge_capacity_override
+
+    def step(params, opt_state, batch, lr, rng, cap=None):
         # NB type(), not isinstance(): GraphBatch is a NamedTuple.
         if type(batch) is tuple and batch[0] == 'packed':
             _, buf, template, *sym = batch
-            return packed_step_for(template, bool(sym and sym[0]))(
-                params, opt_state, buf, lr, rng)
-        return pytree_step(params, opt_state, batch, lr, rng)
+            shapes = _pad_shapes(template) if cap is not None else (0, 0)
+            with edge_capacity_override(*shapes, cap):
+                return packed_step_for(template, bool(sym and sym[0]),
+                                       cap)(params, opt_state, buf, lr, rng)
+        # cap=None covers non-graph layouts (dense/siamese) too — their
+        # batches have no senders/coords fields to read shapes from.
+        shapes = _pad_shapes(batch) if cap is not None else (0, 0)
+        with edge_capacity_override(*shapes, cap):
+            return pytree_step_for(cap)(params, opt_state, batch, lr, rng)
 
     return step
 
@@ -181,12 +210,17 @@ def make_eval_step(model, model_task: Optional[str], mesh: Mesh,
         in_specs=(P(), P(axis_name)),
         out_specs=P(axis_name),
         check_rep=False)
-    pytree_eval = jax.jit(sharded)
+    pytree_cache = {}
+
+    def pytree_eval_for(cap):
+        if cap not in pytree_cache:
+            pytree_cache[cap] = jax.jit(sharded)
+        return pytree_cache[cap]
 
     packed_cache = {}
 
-    def packed_eval_for(template, symmetric):
-        key = (type(template).__name__, symmetric) + tuple(
+    def packed_eval_for(template, symmetric, cap):
+        key = (type(template).__name__, symmetric, cap) + tuple(
             (tuple(a.shape), str(a.dtype)) for a in template)
         if key not in packed_cache:
             from pointvs_tpu.data.wire import decompress, unpack
@@ -203,13 +237,19 @@ def make_eval_step(model, model_task: Optional[str], mesh: Mesh,
             packed_cache[key] = jax.jit(sharded_p)
         return packed_cache[key]
 
-    def step(params, batch):
+    from pointvs_tpu.ops.sorted_segment import edge_capacity_override
+
+    def step(params, batch, cap=None):
         # NB type(), not isinstance(): GraphBatch is a NamedTuple.
         if type(batch) is tuple and batch[0] == 'packed':
             _, buf, template, *sym = batch
-            return packed_eval_for(template, bool(sym and sym[0]))(
-                params, buf)
-        return pytree_eval(params, batch)
+            shapes = _pad_shapes(template) if cap is not None else (0, 0)
+            with edge_capacity_override(*shapes, cap):
+                return packed_eval_for(template, bool(sym and sym[0]),
+                                       cap)(params, buf)
+        shapes = _pad_shapes(batch) if cap is not None else (0, 0)
+        with edge_capacity_override(*shapes, cap):
+            return pytree_eval_for(cap)(params, batch)
 
     return step
 
@@ -242,9 +282,11 @@ def make_scan_eval_step(model, model_task: Optional[str], mesh: Mesh,
 
     cache = {}
 
-    def step(params, mega, template, symmetric=False):
+    from pointvs_tpu.ops.sorted_segment import edge_capacity_override
+
+    def step(params, mega, template, symmetric=False, cap=None):
         from pointvs_tpu.data.wire import decompress, unpack
-        key = (tuple(mega.shape), type(template).__name__, symmetric) \
+        key = (tuple(mega.shape), type(template).__name__, symmetric, cap) \
             + tuple((tuple(a.shape), str(a.dtype)) for a in template)
         if key not in cache:
             def device_scan(params, mega_shard):     # [G, 1, nbytes]
@@ -263,6 +305,8 @@ def make_scan_eval_step(model, model_task: Optional[str], mesh: Mesh,
                 out_specs=P(None, axis_name),
                 check_rep=False)
             cache[key] = jax.jit(sharded)
-        return cache[key](params, mega)
+        shapes = _pad_shapes(template) if cap is not None else (0, 0)
+        with edge_capacity_override(*shapes, cap):
+            return cache[key](params, mega)
 
     return step

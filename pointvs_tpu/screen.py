@@ -176,6 +176,11 @@ def screen(model_path, receptor, ligands, output='screen_results.csv',
         symmetric = group[0][3]
         bufs = [g[1] for g in group]
         n_real = len(bufs)
+        # One scatter capacity per group (the max of its members') so the
+        # group shares a compiled program; the size-sorted library plus
+        # the coarse capacity grid keep distinct values to ~1-2.
+        caps = [m.cap for m in group_meta if getattr(m, 'cap', None)]
+        cap = max(caps) if caps else None
         if scan_eval is not None:
             # Pad short (final) groups by repeating the last buffer so a
             # library of any size compiles at most one scan program; a
@@ -189,7 +194,7 @@ def screen(model_path, receptor, ligands, output='screen_results.csv',
             t1 = time.perf_counter()
             in_flight.append(('scan',
                               scan_eval(trainer.params, mega_dev,
-                                        template, symmetric),
+                                        template, symmetric, cap=cap),
                               n_real, list(group_meta)))
         else:
             mega_dev = jax.device_put(np.stack(bufs))  # [G, D, nbytes]
@@ -197,7 +202,7 @@ def screen(model_path, receptor, ligands, output='screen_results.csv',
             for i in range(n_real):
                 dev = ('packed', mega_dev[i], template, symmetric)
                 in_flight.append(('batch',
-                                  eval_fn(trainer.params, dev),
+                                  eval_fn(trainer.params, dev, cap=cap),
                                   group_meta[i]))
         if _dbg:
             LOG.info(f'flush: put {t1-t0:.2f}s dispatch '

@@ -340,9 +340,14 @@ class Trainer:
                 lr_now = self.scheduler(sched_step)
                 step_rng = jax.random.fold_in(self.rng, self.global_iter)
                 batch_dev = self._to_device(batch)
+                # Loader-measured per-batch scatter capacity (see
+                # parallel/steps.py); absent on legacy/2-D paths.
+                cap_kw = ({'cap': meta.cap}
+                          if getattr(meta, 'cap', None) is not None
+                          and self.graph_shard == 1 else {})
                 self.params, self.opt_state, stats = step_fn(
                     self.params, self.opt_state, batch_dev,
-                    jnp.float32(lr_now), step_rng)
+                    jnp.float32(lr_now), step_rng, **cap_kw)
                 sched_step += 1
                 self.global_iter += 1
                 done_steps += 1
@@ -495,7 +500,13 @@ class Trainer:
 
         for batch_idx, (batch, meta) in enumerate(data_loader):
             batch_dev = self._to_device(batch)
-            in_flight.append((eval_fn(self.params, batch_dev), meta))
+            # Per-batch scatter capacity (loader-measured) — None for
+            # legacy loaders / non-graph layouts / 2-D sharded steps.
+            cap_kw = ({'cap': meta.cap}
+                      if getattr(meta, 'cap', None) is not None
+                      and self.graph_shard == 1 else {})
+            in_flight.append((eval_fn(self.params, batch_dev, **cap_kw),
+                              meta))
             if not (batch_idx + 1) % self.log_interval:
                 drain()
                 with open(predictions_file, 'a', encoding='utf-8') as f:
