@@ -164,3 +164,21 @@ def test_loader_emits_cap(tmp_path):
     n_pad = np.asarray(batch.coords)[0].shape[0]
     real = senders[senders < n_pad]
     assert meta.cap >= np.bincount(real // WINDOW).max()
+
+
+def test_caps_are_sticky_and_val_cache_normalised():
+    """meta.cap must be MONOTONE NON-DECREASING within a loader (the step
+    wrappers trace one program per cap value; a per-batch cap compiled a
+    new program for every newly-composed batch — measured 2.5x e2e loss),
+    and deterministic val caches must replay ONE cap from pass 2 on."""
+    from tests.setup_and_params import _loader_kwargs
+    from pointvs_tpu.data import get_data_loader
+    dl = get_data_loader(batch_size=1, **_loader_kwargs)
+    assert dl.dynamic_cap
+    caps_pass1 = [meta.cap for _, meta in dl]
+    assert len(caps_pass1) >= 2
+    assert all(c is not None for c in caps_pass1)
+    assert caps_pass1 == sorted(caps_pass1), 'caps must be monotone'
+    # Cached second pass: every cap equals the pass-1 running max.
+    caps_pass2 = [meta.cap for _, meta in dl]
+    assert set(caps_pass2) == {max(caps_pass1)}
