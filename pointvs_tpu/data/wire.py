@@ -29,10 +29,16 @@ class WireBatch(NamedTuple):
     #                              along the NODE axis (little-endian), so
     #                              F stays recoverable from static shape
     coords: np.ndarray          # [N, 3] float32
-    graph_id: np.ndarray        # [N] uint16 (padding rows = B)
+    graph_rle: np.ndarray       # [B+1] int32 nodes-per-graph counts
+    #                              (padding slot last; decode is a
+    #                              searchsorted over B+1 bounds), OR the
+    #                              legacy [N] uint16 ids when graph_id is
+    #                              not non-decreasing (decode dispatches
+    #                              on the static shape)
     senders: np.ndarray         # [E] uint16 or int32
     receivers: np.ndarray       # [E] uint16 or int32
-    edge_class: np.ndarray      # [E] uint8 (3 = padding)
+    edge_class: np.ndarray      # [E/4] uint8, 2 bits/edge (3 = padding),
+    #                              OR legacy [E] uint8 when e_pad % 4
     y: np.ndarray               # [B] / [B,3] float32
     graph_mask: np.ndarray      # [B] float32
     strain: np.ndarray          # [B, 2] float32
@@ -79,6 +85,31 @@ def _edge_class(batch: GraphBatch) -> np.ndarray:
     edge_class = np.argmax(batch.edge_attr, axis=-1).astype(np.uint8)
     return np.where(np.asarray(batch.edge_mask) > 0, edge_class,
                     np.uint8(3))
+
+
+def _pack_edge_class_bits(ec: np.ndarray) -> np.ndarray:
+    """[.., E] uint8 class ids (values 0-3) -> [.., E/4] uint8, 2 bits
+    per edge."""
+    e4 = ec.reshape(ec.shape[:-1] + (ec.shape[-1] // 4, 4))
+    return (e4[..., 0] | (e4[..., 1] << 2) | (e4[..., 2] << 4)
+            | (e4[..., 3] << 6))
+
+
+def _graph_node_counts(batch: GraphBatch):
+    """[.., B+1] int32 nodes-per-graph counts (padding slot last), or
+    None when the collator invariant (non-decreasing graph_id) does not
+    hold or the counts shape would collide with the legacy ids shape."""
+    graph_id = np.asarray(batch.graph_id, np.int64)
+    n_pad = graph_id.shape[-1]
+    num_graphs = batch.graph_mask.shape[-1]
+    if not np.all(graph_id[..., 1:] >= graph_id[..., :-1]):
+        return None
+    g2 = graph_id.reshape(-1, n_pad)
+    counts = np.empty((g2.shape[0], num_graphs + 1), np.int32)
+    for d in range(g2.shape[0]):
+        counts[d] = np.bincount(np.minimum(g2[d], num_graphs),
+                                minlength=num_graphs + 1)
+    return counts.reshape(graph_id.shape[:-1] + (num_graphs + 1,))
 
 
 def _try_compress_v2(batch: GraphBatch):
@@ -146,15 +177,22 @@ def compress(batch: GraphBatch, prefer_v2: bool = None):
     if v2 is not None:
         return v2
     n_pad = batch.node_feats.shape[-2]
+    e_pad = batch.senders.shape[-1]
     idx_t = np.uint16 if n_pad < 65536 else np.int32
+    counts = _graph_node_counts(batch)
+    if counts is None:   # legacy ids fallback
+        counts = np.minimum(np.asarray(batch.graph_id), 65535
+                            ).astype(np.uint16)
+    ec = _edge_class(batch)
+    if e_pad % 4 == 0 and e_pad // 4 != e_pad:
+        ec = _pack_edge_class_bits(ec)
     return WireBatch(
         node_feats_bits=_pack_feature_bits(batch.node_feats),
         coords=np.asarray(batch.coords, np.float32),
-        graph_id=np.minimum(np.asarray(batch.graph_id), 65535
-                            ).astype(np.uint16),
+        graph_rle=counts,
         senders=np.asarray(batch.senders).astype(idx_t),
         receivers=np.asarray(batch.receivers).astype(idx_t),
-        edge_class=_edge_class(batch),
+        edge_class=ec,
         y=np.asarray(batch.y, np.float32),
         graph_mask=np.asarray(batch.graph_mask, np.float32),
         strain=np.asarray(batch.strain, np.float32))
@@ -285,14 +323,24 @@ def decompress(wire, symmetric: bool = False) -> GraphBatch:
     if isinstance(wire, WireBatchV2):
         return _decompress_v2(wire, symmetric)
     n_pad = wire.coords.shape[-2]
+    e_pad = wire.senders.shape[-1]
     num_graphs = wire.graph_mask.shape[-1]
     node_feats = _unpack_feature_bits(wire.node_feats_bits, n_pad)
     senders = wire.senders.astype(jnp.int32)
     receivers = wire.receivers.astype(jnp.int32)
     edge_mask = (senders < n_pad).astype(jnp.float32)
-    node_mask = (wire.graph_id < num_graphs).astype(jnp.float32)
-    edge_attr = (wire.edge_class[..., None]
-                 == jnp.arange(3, dtype=wire.edge_class.dtype)
+    if wire.graph_rle.dtype == jnp.int32:            # [B+1] counts
+        graph_id = _ids_from_counts(wire.graph_rle, n_pad)
+    else:                                            # legacy [N] uint16 ids
+        graph_id = wire.graph_rle.astype(jnp.int32)
+    node_mask = (graph_id < num_graphs).astype(jnp.float32)
+    if wire.edge_class.shape[-1] == e_pad:           # legacy [E] ids
+        ec = wire.edge_class
+    else:                                            # 2-bit packed [E/4]
+        shifts = jnp.arange(0, 8, 2, dtype=jnp.uint8)
+        ec = ((wire.edge_class[..., None] >> shifts) & jnp.uint8(3)
+              ).reshape(wire.edge_class.shape[:-1] + (e_pad,))
+    edge_attr = (ec[..., None] == jnp.arange(3, dtype=ec.dtype)
                  ).astype(jnp.float32)
     # Stable argsort reproduces the collator's recv_perm exactly (padding
     # receivers == n_pad sort last); cheaper on-device than its int32
@@ -302,7 +350,7 @@ def decompress(wire, symmetric: bool = False) -> GraphBatch:
         node_feats=node_feats,
         coords=wire.coords,
         node_mask=node_mask,
-        graph_id=wire.graph_id.astype(jnp.int32),
+        graph_id=graph_id.astype(jnp.int32),
         senders=senders,
         receivers=receivers,
         edge_attr=edge_attr,
