@@ -292,10 +292,14 @@ class PointCloudDataset:
     def _cache_key(self, lig_fname, rec_fname) -> Optional[Path]:
         if self.cache_dir is None:
             return None
+        # 'lex2' = blob-format generation: edges lex-sorted by
+        # (sender, receiver) so batches qualify for the symmetric-half
+        # wire format (wire.WireBatchV3). Bump on edge-order changes so
+        # stale caches regenerate rather than silently disqualifying v3.
         params = (str(lig_fname), str(rec_fname), self.radius,
                   self.edge_radius, self.estimate_bonds, self.prune,
                   self.polar_hydrogens, self.use_atomic_numbers,
-                  self.extended_atom_types, self.bp)
+                  self.extended_atom_types, self.bp, 'lex2')
         digest = hashlib.sha1(repr(params).encode()).hexdigest()[:24]
         return self.cache_dir / f'{digest}.bin'
 
@@ -358,12 +362,20 @@ class PointCloudDataset:
             rows = rows.astype(np.int32)
             cols = cols.astype(np.int32)
             n_nodes = len(struct['bp'])
-            # Sort by sender once HERE (cached across epochs): the batch
-            # collator requires destination-sorted edges, and a sorted
-            # concatenation of sorted lists lets it skip four full-batch
-            # gathers per batch.
-            if len(rows) and not np.all(rows[1:] >= rows[:-1]):
-                order = _stable_argsort_ids(rows, n_nodes)
+            # Lex-sort by (sender, receiver) once HERE (cached across
+            # epochs): the batch collator requires sender-sorted edges
+            # (a sorted concatenation of sorted lists skips four
+            # full-batch gathers per batch), and the LEXICOGRAPHIC tie
+            # order additionally qualifies symmetric batches for the
+            # half-edge wire format (wire.WireBatchV3: ship E/2 edges,
+            # reconstruct the exact order on device with one stable
+            # sort). Two counting-sort passes keep it O(E + N).
+            if len(rows) and not np.all(
+                    (rows[1:] > rows[:-1])
+                    | ((rows[1:] == rows[:-1]) & (cols[1:] >= cols[:-1]))):
+                o1 = _stable_argsort_ids(cols, n_nodes)
+                o2 = _stable_argsort_ids(rows[o1], n_nodes)
+                order = o1[o2]
                 rows, cols, attrs = rows[order], cols[order], attrs[order]
             onehot = np.zeros((len(attrs), 3), dtype=np.float32)
             if len(attrs):

@@ -88,6 +88,13 @@ def get_graphops() -> Optional[ctypes.CDLL]:
         lib.pvs_max_window_load.argtypes = [
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_int32,
             ctypes.c_int32]
+        lib.pvs_symhalf.restype = ctypes.c_int64
+        lib.pvs_symhalf.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint16), ctypes.POINTER(ctypes.c_uint16),
+            ctypes.POINTER(ctypes.c_uint8)]
         _LIB = lib
         LOG.info(f'native graphops loaded from {so_path}')
         return _LIB
@@ -141,6 +148,33 @@ def native_max_window_load(ids: np.ndarray, id_bound: int,
     return int(lib.pvs_max_window_load(
         _iptr(ids), len(ids), ctypes.c_int32(id_bound),
         ctypes.c_int32(window)))
+
+
+def native_symhalf(senders: np.ndarray, receivers: np.ndarray,
+                   recv_perm: np.ndarray, edge_class: np.ndarray,
+                   n_pad: int):
+    """(half_s, half_r, half_class_bits) for the symmetric-half wire
+    format, or None when unavailable/ineligible (see pvs_symhalf)."""
+    lib = get_graphops()
+    if lib is None:
+        return None
+    e = len(senders)
+    senders = np.ascontiguousarray(senders, dtype=np.int32)
+    receivers = np.ascontiguousarray(receivers, dtype=np.int32)
+    recv_perm = np.ascontiguousarray(recv_perm, dtype=np.int32)
+    edge_class = np.ascontiguousarray(edge_class, dtype=np.uint8)
+    half_s = np.empty(e // 2, dtype=np.uint16)
+    half_r = np.empty(e // 2, dtype=np.uint16)
+    bits = np.empty(e // 8, dtype=np.uint8)
+    n_up = lib.pvs_symhalf(
+        _iptr(senders), _iptr(receivers), _iptr(recv_perm),
+        _bptr(edge_class), ctypes.c_int64(e), ctypes.c_int32(n_pad),
+        half_s.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        half_r.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        _bptr(bits))
+    if n_up < 0:
+        return None
+    return half_s, half_r, bits
 
 
 # Adaptive capacity hint: items in one dataset have similar edge counts,

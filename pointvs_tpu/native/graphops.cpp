@@ -329,4 +329,57 @@ int64_t pvs_max_window_load(const int32_t* ids, int64_t n, int32_t id_bound,
     return max_load;
 }
 
+// Symmetric-half extraction + eligibility check for the v3 wire format
+// (pointvs_tpu/data/wire.py WireBatchV3): one pass verifying
+// (sender, receiver)-lexicographic order, mirror-at-same-rank
+// (senders[recv_perm[i]] == receivers[i], which with the collator's
+// receivers[recv_perm] == senders proves every edge's mirror exists),
+// and exact pairing (2 * n_up + n_pad_edges == E, padding edges have
+// s == r == n_pad); the s < r half is emitted as uint16 ids plus
+// 2-bit-packed classes. Returns n_up (>= 0) on success, -1 when the
+// batch is ineligible (caller falls back to the full-edge format).
+int64_t pvs_symhalf(const int32_t* senders, const int32_t* receivers,
+                    const int32_t* recv_perm, const uint8_t* edge_class,
+                    int64_t e, int32_t n_pad,
+                    uint16_t* half_s, uint16_t* half_r,
+                    uint8_t* half_class_bits) {
+    const int64_t half = e / 2;
+    int64_t n_up = 0, n_padding = 0, n_down = 0;
+    int32_t prev_s = -1, prev_r = -1;
+    for (int64_t i = 0; i < e; ++i) {
+        const int32_t s = senders[i], r = receivers[i];
+        if (s < prev_s || (s == prev_s && r < prev_r)) return -1;
+        prev_s = s; prev_r = r;
+        if (senders[recv_perm[i]] != r) return -1;
+        if (s == n_pad) {
+            if (r != n_pad) return -1;
+            ++n_padding;
+        } else if (s < r) {
+            if (n_up >= half) return -1;
+            half_s[n_up] = static_cast<uint16_t>(s);
+            half_r[n_up] = static_cast<uint16_t>(r);
+            // accumulate 2-bit classes little-endian within each byte
+            const int shift = 2 * (n_up & 3);
+            if (shift == 0) half_class_bits[n_up >> 2] = 0;
+            half_class_bits[n_up >> 2] |=
+                static_cast<uint8_t>((edge_class[i] & 3) << shift);
+            ++n_up;
+        } else if (s > r) {
+            ++n_down;
+        } else {
+            return -1;  // real self-loop: cannot halve
+        }
+    }
+    if (n_up != n_down || 2 * n_up + n_padding != e) return -1;
+    // pad the remaining half slots: ids = n_pad, class = 3
+    for (int64_t k = n_up; k < half; ++k) {
+        half_s[k] = static_cast<uint16_t>(n_pad);
+        half_r[k] = static_cast<uint16_t>(n_pad);
+        const int shift = 2 * (k & 3);
+        if (shift == 0) half_class_bits[k >> 2] = 0;
+        half_class_bits[k >> 2] |= static_cast<uint8_t>(3u << shift);
+    }
+    return n_up;
+}
+
 }  // extern "C"

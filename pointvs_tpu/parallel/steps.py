@@ -28,21 +28,26 @@ def _squeeze_leading(tree):
 
 
 def _as_graph_batch(batch):
-    """Accept either a full GraphBatch or a compact WireBatch/V2."""
-    from pointvs_tpu.data.wire import WireBatch, WireBatchV2, decompress
-    if isinstance(batch, (WireBatch, WireBatchV2)):
+    """Accept either a full GraphBatch or a compact WireBatch/V2/V3."""
+    from pointvs_tpu.data.wire import (WireBatch, WireBatchV2, WireBatchV3,
+                                       decompress)
+    if isinstance(batch, (WireBatch, WireBatchV2, WireBatchV3)):
         return decompress(batch)
     return batch
 
 
 def _pad_shapes(tree):
     """(n_pad, e_pad) from a batch or wire template — shape metadata
-    only, so this never touches device buffers. Works for GraphBatch,
-    WireBatch and WireBatchV2, stacked ([D, ...]) or not."""
-    from pointvs_tpu.data.wire import WireBatchV2
+    only, so this never touches device buffers. Works for GraphBatch and
+    all wire formats, stacked ([D, ...]) or not."""
+    from pointvs_tpu.data.wire import WireBatchV2, WireBatchV3
     n_pad = tree.coords.shape[-2]
-    e_pad = (tree.recv_delta.shape[-1] if isinstance(tree, WireBatchV2)
-             else tree.senders.shape[-1])
+    if isinstance(tree, WireBatchV2):
+        e_pad = tree.recv_delta.shape[-1]
+    elif isinstance(tree, WireBatchV3):
+        e_pad = 2 * tree.half_senders.shape[-1]
+    else:
+        e_pad = tree.senders.shape[-1]
     return n_pad, e_pad
 
 

@@ -90,21 +90,27 @@ def test_wire_v1_fallback_roundtrip():
             np.asarray(getattr(batch, field)), err_msg=field)
 
 
-@pytest.mark.parametrize('prefer_v2', [False, True])
-def test_wire_roundtrip(prefer_v2):
-    """Both wire formats round-trip exactly (v1 is the train-path
-    default; v2 auto-cuts-over at n_pad >= 65536 — see wire.compress)."""
+@pytest.mark.parametrize('fmt', ['v1', 'v2', 'v3'])
+def test_wire_roundtrip(fmt, monkeypatch):
+    """All wire formats round-trip exactly (v3 symmetric-half is the
+    train-path default for collator-symmetric batches; v2 auto-cuts-over
+    at n_pad >= 65536; v1 is the general fallback — see wire.compress).
+    The field loop covers recv_perm/inv_recv_perm, pinning v3's exact
+    edge-order reconstruction, not just multiset equality."""
     import jax
     from pointvs_tpu.data.buckets import pad_graphs_to_batch, \
         stack_device_batches
-    from pointvs_tpu.data.wire import (WireBatch, WireBatchV2, compress,
-                                       decompress, pack_stacked,
+    from pointvs_tpu.data.wire import (WireBatch, WireBatchV2, WireBatchV3,
+                                       compress, decompress, pack_stacked,
                                        stacked_template, unpack)
+    if fmt == 'v1':
+        monkeypatch.setenv('POINTVS_WIRE_V3', '0')
     ds = _dataset()
     batch = pad_graphs_to_batch([ds[0], ds[1]], num_graphs=2)
     stacked = stack_device_batches([batch])
-    wire = compress(stacked, prefer_v2=prefer_v2)
-    assert isinstance(wire, WireBatchV2 if prefer_v2 else WireBatch)
+    wire = compress(stacked, prefer_v2=(fmt == 'v2'))
+    expected = {'v1': WireBatch, 'v2': WireBatchV2, 'v3': WireBatchV3}[fmt]
+    assert isinstance(wire, expected)
     buf = pack_stacked(wire)
     template = stacked_template(wire)
     # The symmetric flag rides beside the template on the real packed
