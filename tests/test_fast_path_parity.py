@@ -129,6 +129,29 @@ def test_wire_roundtrip(fmt, monkeypatch):
             np.asarray(getattr(batch, field)), err_msg=field)
 
 
+def test_symhalf_native_matches_numpy(monkeypatch):
+    """The C++ pvs_symhalf extraction must produce byte-identical v3
+    wires to the numpy fallback (same eligibility verdicts included)."""
+    from pointvs_tpu.data.buckets import pad_graphs_to_batch, \
+        stack_device_batches
+    from pointvs_tpu.data import wire as wire_mod
+    from pointvs_tpu.native.build import get_graphops
+    if get_graphops() is None:
+        pytest.skip('native graphops unavailable')
+    ds = _dataset()
+    stacked = stack_device_batches(
+        [pad_graphs_to_batch([ds[0], ds[1]], num_graphs=2)])
+    native = wire_mod.compress(stacked)
+    assert isinstance(native, wire_mod.WireBatchV3)
+    monkeypatch.setattr('pointvs_tpu.native.build.native_symhalf',
+                        lambda *a, **k: None)
+    fallback = wire_mod.compress(stacked)
+    assert isinstance(fallback, wire_mod.WireBatchV3)
+    for name, a, b in zip(native._fields, native, fallback):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=name)
+
+
 def test_symmetric_gather_pair_matches_general_path():
     """The collator-verified symmetric fast path (GraphBatch.inv_recv_perm
     -> EdgeAggregator.gather_pair: one node gather, ONE backward scatter)
