@@ -162,6 +162,15 @@ def parse_args(argv=None):
     parser.add_argument('--edge_bucket', type=int, default=None,
                         help='Pin the padded edge count per device batch '
                              '(see --node_bucket)')
+    parser.add_argument('--scatter_cap', type=int, default=None,
+                        help='Pin the windowed-scatter capacity to ONE '
+                             'value instead of the loader-measured '
+                             'per-batch cap. Required to keep the '
+                             'dynamic-capacity speedup under --multihost '
+                             '(processes cannot negotiate caps); must '
+                             'cover the densest batch window (see '
+                             'data/buckets.batch_scatter_cap). Batches '
+                             'exceeding it abort with a clear error')
     return parser.parse_args(argv)
 
 

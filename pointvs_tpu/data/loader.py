@@ -75,7 +75,7 @@ class GraphDataLoader:
                  edge_buckets=DEFAULT_EDGE_BUCKETS,
                  shard_index: int = 0, num_shards: int = 1,
                  layout: str = 'graph', paired_dataset=None,
-                 graph_shard: int = 1):
+                 graph_shard: int = 1, scatter_cap: int = None):
         if layout not in ('graph', 'dense', 'pair'):
             raise ValueError(f'unknown layout {layout!r}')
         if layout == 'pair' and paired_dataset is None:
@@ -143,8 +143,15 @@ class GraphDataLoader:
         # pins buckets for the same reason.
         import os
         self.dynamic_cap = (
-            layout == 'graph' and graph_shard == 1 and num_shards == 1
+            layout == 'graph' and graph_shard == 1
+            and (num_shards == 1 or scatter_cap is not None)
             and os.environ.get('POINTVS_DYNAMIC_CAP', '1') == '1')
+        # Pinned capacity (--scatter_cap): multihost-safe variant of the
+        # dynamic cap — every process uses the SAME user-chosen value, so
+        # the collective step compiles one program. Batches whose
+        # measured window load exceeds it raise (silent overflow would
+        # corrupt aggregation).
+        self.scatter_cap = scatter_cap if self.dynamic_cap else None
         # Sticky cap: meta.cap is the running MAX of measured caps, not
         # the per-batch value. The step wrappers key their trace cache on
         # the cap value, so per-batch caps would compile a fresh program
@@ -154,6 +161,21 @@ class GraphDataLoader:
         # 1.35x bucket grid makes new records rare) and capacity-above-
         # load is always numerically safe.
         self._cap_high = 0
+
+    def _meta_cap(self, measured: int) -> int:
+        """meta.cap from a batch's measured capacity bucket: the pinned
+        --scatter_cap when set (multihost-deterministic; overflow is a
+        hard error), else the sticky running max (see __init__)."""
+        if self.scatter_cap is not None:
+            if measured > self.scatter_cap:
+                raise ValueError(
+                    f'--scatter_cap {self.scatter_cap} is below this '
+                    f'batch\'s required windowed-scatter capacity '
+                    f'{measured}; raise it (or unset to use per-batch '
+                    f'caps on single-process runs)')
+            return self.scatter_cap
+        self._cap_high = max(self._cap_high, measured)
+        return self._cap_high
 
     def __len__(self):
         n = -(-len(self.dataset) // self.num_shards)
@@ -241,9 +263,7 @@ class GraphDataLoader:
                 edge_buckets=self.edge_buckets,
                 dynamic_cap=self.dynamic_cap)
             if self.dynamic_cap:
-                self._cap_high = max(self._cap_high,
-                                     batch_scatter_cap(batch))
-                meta.cap = self._cap_high
+                meta.cap = self._meta_cap(batch_scatter_cap(batch))
             # Leading device axis [1, ...] so train/eval steps see one
             # layout regardless of mesh size.
             return stack_device_batches([batch]), meta
@@ -299,9 +319,8 @@ class GraphDataLoader:
         if self.dynamic_cap:
             # One capacity for all shards (shapes — and therefore the
             # compiled program — are shared across the device axis).
-            self._cap_high = max(self._cap_high,
-                                 *(batch_scatter_cap(b) for b in batches))
-            meta.cap = self._cap_high
+            meta.cap = self._meta_cap(
+                max(batch_scatter_cap(b) for b in batches))
         return stack_device_batches(batches), meta
 
     def _produce(self) -> Iterator[Tuple[GraphBatch, BatchMeta]]:
@@ -380,10 +399,11 @@ class GraphDataLoader:
                     cache.append(host_item)
                 yield out_item
         if cache is not None:
-            if self.dynamic_cap:
+            if self.dynamic_cap and self.scatter_cap is None:
                 # Normalise cached caps to the pass-1 running max so every
                 # later pass replays ONE compiled program (metas captured
-                # early in pass 1 hold lower sticky values).
+                # early in pass 1 hold lower sticky values). Pinned
+                # --scatter_cap metas are already uniform.
                 for _, m in cache:
                     if m.cap is not None:
                         m.cap = self._cap_high
@@ -418,6 +438,7 @@ def get_data_loader(
         layout: str = 'graph', graph_shard: int = 1,
         node_buckets=DEFAULT_NODE_BUCKETS,
         edge_buckets=DEFAULT_EDGE_BUCKETS,
+        scatter_cap: int = None,
         **kwargs) -> GraphDataLoader:
     """Build dataset + loader with the reference's flag surface
     (ref data_loaders.py:481-520)."""
@@ -451,4 +472,4 @@ def get_data_loader(
         prefetch=prefetch, seed=seed, shard_index=shard_index,
         num_shards=num_shards, layout=layout, paired_dataset=paired,
         graph_shard=graph_shard, node_buckets=node_buckets,
-        edge_buckets=edge_buckets)
+        edge_buckets=edge_buckets, scatter_cap=scatter_cap)

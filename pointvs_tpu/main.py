@@ -80,6 +80,8 @@ def build_loaders(args, num_devices: int):
         dl_kwargs['node_buckets'] = (args.node_bucket,)
     if args.edge_bucket:
         dl_kwargs['edge_buckets'] = (args.edge_bucket,)
+    if getattr(args, 'scatter_cap', None):
+        dl_kwargs['scatter_cap'] = args.scatter_cap
     if n_proc > 1 and not (args.node_bucket and args.edge_bucket):
         raise SystemExit('--multihost requires --node_bucket and '
                          '--edge_bucket: processes pad independently and '

@@ -166,6 +166,23 @@ def test_loader_emits_cap(tmp_path):
     assert meta.cap >= np.bincount(real // WINDOW).max()
 
 
+def test_pinned_scatter_cap():
+    """--scatter_cap pins meta.cap to one deterministic value (the
+    multihost-safe variant: every process compiles the same program);
+    undersized pins raise instead of silently overflowing."""
+    from tests.setup_and_params import _loader_kwargs
+    from pointvs_tpu.data import get_data_loader
+    dl = get_data_loader(batch_size=2, scatter_cap=1 << 16,
+                         **_loader_kwargs)
+    assert dl.dynamic_cap and dl.scatter_cap == 1 << 16
+    caps = [meta.cap for _, meta in dl]
+    assert set(caps) == {1 << 16}
+    small = get_data_loader(batch_size=2, scatter_cap=1,
+                            **_loader_kwargs)
+    with pytest.raises(ValueError, match='scatter_cap'):
+        next(iter(small))
+
+
 def test_caps_are_sticky_and_val_cache_normalised():
     """meta.cap must be MONOTONE NON-DECREASING within a loader (the step
     wrappers trace one program per cap value; a per-batch cap compiled a
