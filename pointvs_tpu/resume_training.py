@@ -32,7 +32,8 @@ def main(argv=None):
     for attr, default in (('prefetch', 2), ('seed', 2),
                           ('cache_dir', None), ('p_noise', -1),
                           ('p_remove_entity', 0), ('graph_shard', 1),
-                          ('node_bucket', None), ('edge_bucket', None)):
+                          ('node_bucket', None), ('edge_bucket', None),
+                          ('scatter_cap', None)):
         if not hasattr(saved, attr):
             setattr(saved, attr, default)
 
