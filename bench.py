@@ -210,14 +210,14 @@ def bench_tpu(samples, ds):
     # happen in the loader's producer thread, overlapping device compute.
     loader.transfer_fn = to_device
 
-    def run_epochs(params, opt_state, n_ep):
+    def run_epochs(dl, params, opt_state, n_ep):
         """n_ep epochs with ONE D2H fence at the end — the engine fetches
         losses every log_interval steps, so a per-step fence would charge
         the tunnel's ~50 ms round trip to every batch."""
         n_seen = 0
         loss = None
         for _ in range(n_ep):
-            for b, _meta in loader:
+            for b, _meta in dl:
                 kw = ({'cap': _meta.cap}
                       if getattr(_meta, 'cap', None) is not None else {})
                 params, opt_state, loss = step(params, opt_state, b,
@@ -226,13 +226,14 @@ def bench_tpu(samples, ds):
         _sync(loss)
         return params, opt_state, n_seen
 
-    params, opt_state, _ = run_epochs(params, opt_state, 1)  # warm
-    e2e_tput = 0.0
-    for _ in range(3):
-        start = time.perf_counter()
-        params, opt_state, n_seen = run_epochs(params, opt_state, 2)
-        e2e_tput = max(e2e_tput,
-                       n_seen / (time.perf_counter() - start))
+    def measure_e2e(dl, params, opt_state):
+        params, opt_state, _ = run_epochs(dl, params, opt_state, 1)  # warm
+        tput = 0.0
+        for _ in range(3):
+            start = time.perf_counter()
+            params, opt_state, n_seen = run_epochs(dl, params, opt_state, 2)
+            tput = max(tput, n_seen / (time.perf_counter() - start))
+        return tput, params, opt_state
 
     # Secondary metrics are individually fault-tolerant: the remote
     # compile service has degraded windows (DEVELOPMENT.md round-3
@@ -243,6 +244,35 @@ def bench_tpu(samples, ds):
         except Exception as exc:  # pragma: no cover - environment flake
             print(f'# secondary metric failed: {exc!r}', flush=True)
             return 0.0
+
+    e2e_stream, params, opt_state = measure_e2e(loader, params, opt_state)
+
+    # Device-resident dataset (data/device_dataset.py): the whole set
+    # ships to HBM once, each step's H2D is just the item ids, and the
+    # jitted step collates on device — the product's default for
+    # HBM-fitting datasets (--device_cache auto), so it is the headline
+    # e2e configuration; the streaming number is reported alongside.
+    def _e2e_device_resident():
+        nonlocal params, opt_state
+        from pointvs_tpu.data.device_dataset import (DeviceGraphStore,
+                                                     build_host_store)
+        store = DeviceGraphStore(build_host_store(e2e_ds), mesh)
+        dd_loader = GraphDataLoader(
+            e2e_ds, batch_size=N_GRAPHS, mode='train', num_devices=1,
+            prefetch=3, seed=7, drop_last=True,
+            node_buckets=(n_fix,), edge_buckets=(e_fix,))
+        dd_loader.enable_device_dataset(store)
+
+        def ids_to_device(b):
+            _, ids, st, spec = b
+            return ('ids', shard_batch(ids, mesh), st.arrays, spec)
+
+        dd_loader.transfer_fn = ids_to_device
+        tput, params, opt_state = measure_e2e(dd_loader, params, opt_state)
+        return tput
+
+    e2e_dd = _secondary(_e2e_device_resident)
+    e2e_tput = max(e2e_stream, e2e_dd)
 
     def _infer():
         eval_step = make_eval_step(model, 'classification', mesh)
@@ -296,7 +326,8 @@ def bench_tpu(samples, ds):
         return tput
 
     deep_infer_tput = _secondary(_deep_infer)
-    return train_tput, infer_tput, deep_tput, e2e_tput, deep_infer_tput
+    return (train_tput, infer_tput, deep_tput, e2e_tput, deep_infer_tput,
+            e2e_stream, e2e_dd)
 
 
 def bench_torch_cpu(samples) -> float:
@@ -350,8 +381,8 @@ def main():
     ds = make_dataset()
     samples = load_samples(ds)
     baseline = get_baseline(samples)
-    (value, infer_tput, deep_tput, e2e_tput,
-     deep_infer_tput) = bench_tpu(samples, ds)
+    (value, infer_tput, deep_tput, e2e_tput, deep_infer_tput,
+     e2e_stream, e2e_dd) = bench_tpu(samples, ds)
     print(json.dumps({
         'metric': 'train_graphs_per_sec (EGNN pose, default flags, '
                   'small_chembl)',
@@ -365,6 +396,8 @@ def main():
                 round(deep_infer_tput, 2),
             'end_to_end_graphs_per_sec': round(e2e_tput, 2),
             'end_to_end_vs_baseline': round(e2e_tput / baseline, 2),
+            'end_to_end_streaming_graphs_per_sec': round(e2e_stream, 2),
+            'end_to_end_device_resident_graphs_per_sec': round(e2e_dd, 2),
             'torch_cpu_baseline_graphs_per_sec': round(baseline, 2),
         },
     }))

@@ -171,6 +171,17 @@ def parse_args(argv=None):
                              'cover the densest batch window (see '
                              'data/buckets.batch_scatter_cap). Batches '
                              'exceeding it abort with a clear error')
+    parser.add_argument('--device_cache', default='auto',
+                        choices=('auto', 'on', 'off'),
+                        help='Device-resident dataset: upload the whole '
+                             'featurised dataset to HBM once and collate '
+                             'batches on device from sampled item ids '
+                             '(~128 B/step H2D instead of the packed '
+                             'wire batch). auto = when the dataset is '
+                             'eligible (no augmented actives / p_noise / '
+                             'p_remove_entity) and fits '
+                             'POINTVS_DD_BUDGET_MB (default 2048). '
+                             'Per-epoch random rotation moves on-device')
     return parser.parse_args(argv)
 
 

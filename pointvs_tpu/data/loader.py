@@ -152,6 +152,12 @@ class GraphDataLoader:
         # measured window load exceeds it raise (silent overflow would
         # corrupt aggregation).
         self.scatter_cap = scatter_cap if self.dynamic_cap else None
+        # Device-resident dataset (data/device_dataset.py): when set (via
+        # enable_device_dataset), the producer emits ('ids', ...) batches
+        # — per-step H2D is just the sampled item ids — and the jitted
+        # step collates on device. The training engine enables this for
+        # eligible datasets that fit the HBM budget.
+        self.device_store = None
         # Sticky cap: meta.cap is the running MAX of measured caps, not
         # the per-batch value. The step wrappers key their trace cache on
         # the cap value, so per-batch caps would compile a fresh program
@@ -323,8 +329,92 @@ class GraphDataLoader:
                 max(batch_scatter_cap(b) for b in batches))
         return stack_device_batches(batches), meta
 
+    def enable_device_dataset(self, store) -> None:
+        """Switch this loader to device-resident collation (store is a
+        device_dataset.DeviceGraphStore built from this loader's
+        dataset). Graph layout, single process, no graph sharding."""
+        if (self.layout != 'graph' or self.graph_shard > 1
+                or self.num_shards > 1):
+            raise ValueError('device-resident datasets require the graph '
+                             'layout on a single process without '
+                             'graph sharding')
+        if len(store.host.num_nodes) != len(self.dataset):
+            raise ValueError('store was built from a different dataset')
+        self.device_store = store
+        self._batch_cache = None   # cached host batches are the old form
+
+    def _produce_ids(self, indices) -> Iterator[Tuple[tuple, BatchMeta]]:
+        """Device-resident batches: ('ids', ids[D, B], store, spec)."""
+        from pointvs_tpu.data.device_dataset import (DeviceCollateSpec,
+                                                     batch_row_cap)
+        from pointvs_tpu.data.buckets import _e_pad_for_load
+        store = self.device_store
+        host = store.host
+        per_dev = self.batch_size // self.num_devices
+        rotate = self.mode == 'train' and host.rot
+        for start in range(0, len(indices), self.batch_size):
+            chunk = [int(i) for i in indices[start:start + self.batch_size]]
+            if len(chunk) < self.batch_size and self.drop_last:
+                return
+            if self.num_devices == 1:
+                rows = [chunk]
+            else:
+                # Largest-first round-robin balancing, as _collate does.
+                order = sorted(chunk,
+                               key=lambda i: -int(host.num_nodes[i]))
+                rows = [[] for _ in range(self.num_devices)]
+                loads = np.zeros(self.num_devices, np.int64)
+                for i in order:
+                    free = [d for d in range(self.num_devices)
+                            if len(rows[d]) < per_dev]
+                    dev = min(free, key=lambda d: loads[d])
+                    rows[dev].append(i)
+                    loads[dev] += int(host.num_nodes[i])
+            ids = np.full((self.num_devices, per_dev), -1, np.int32)
+            for d, r in enumerate(rows):
+                ids[d, :len(r)] = r
+            max_n = max((int(host.num_nodes[r].sum()) for r in rows if r),
+                        default=1)
+            max_e = max((int(host.num_edges[r].sum()) for r in rows if r),
+                        default=1)
+            n_pad = pick_bucket(max(max_n, 1), self.node_buckets)
+            e_pad = pick_bucket(max(max_e, 1), self.edge_buckets)
+            loads_w = [batch_row_cap(host, ids[d], n_pad, bucket=False)
+                       for d in range(self.num_devices)]
+            cap = None
+            if self.dynamic_cap:
+                from pointvs_tpu.ops.sorted_segment import cap_bucket
+                cap = self._meta_cap(cap_bucket(max(loads_w)))
+            else:
+                # Legacy coupled scheme: grow the edge padding until the
+                # shape-derived window capacity covers the realised load.
+                e_pad = max(e_pad, _e_pad_for_load(max(loads_w), n_pad,
+                                                   e_pad))
+            spec = DeviceCollateSpec(n_pad=n_pad, e_pad=e_pad,
+                                     num_graphs=per_dev,
+                                     symmetric=host.symmetric,
+                                     rotate=rotate)
+            flat = [i for r in rows for i in r]
+            meta = BatchMeta([host.lig_fnames[i] for i in flat],
+                             [host.rec_fnames[i] for i in flat])
+            yv = host.arrays.y
+            ym = np.zeros((self.num_devices, per_dev) + yv.shape[1:],
+                          np.float32)
+            gm = np.zeros((self.num_devices, per_dev), np.float32)
+            for d, r in enumerate(rows):
+                if r:
+                    ym[d, :len(r)] = yv[r]
+                    gm[d, :len(r)] = 1.0
+            meta.y = ym
+            meta.graph_mask = gm
+            meta.cap = cap
+            yield ('ids', ids, store, spec), meta
+
     def _produce(self) -> Iterator[Tuple[GraphBatch, BatchMeta]]:
         indices = self._epoch_indices()
+        if self.device_store is not None:
+            yield from self._produce_ids(indices)
+            return
         for start in range(0, len(indices), self.batch_size):
             chunk = indices[start:start + self.batch_size]
             if len(chunk) < self.batch_size and self.drop_last:

@@ -211,7 +211,8 @@ def main(argv=None):
         only_save_best_models=args.only_save_best_models,
         regression_loss=args.regression_loss, optimiser=args.optimiser,
         num_devices=num_devices, seed=args.seed, profile=args.profile,
-        graph_shard=args.graph_shard, **model_kwargs)
+        graph_shard=args.graph_shard, device_cache=args.device_cache,
+        **model_kwargs)
 
     if args.load_weights is not None:
         trainer.load_weights(args.load_weights)

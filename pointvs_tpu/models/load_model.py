@@ -67,6 +67,7 @@ def load_model(weights_path, silent: bool = False,
         # params are sharding-independent, so plain inference loads the
         # checkpoint on an ordinary dp mesh.
         graph_shard=(cmd_args.get('graph_shard', 1) if init_path else 1),
+        device_cache=cmd_args.get('device_cache', 'auto'),
         **model_kwargs)
     trainer.load_weights(ckpt, silent=silent)
     return trainer, model_kwargs, cmd_args

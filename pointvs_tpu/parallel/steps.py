@@ -157,10 +157,44 @@ def make_train_step(model, tx, model_task: str, regression_loss: str,
             packed_cache[key] = jax.jit(sharded_p, donate_argnums=(0, 1))
         return packed_cache[key]
 
+    ids_cache = {}
+
+    def ids_step_for(spec, cap):
+        key = (spec, cap)
+        if key not in ids_cache:
+            from pointvs_tpu.data.device_dataset import (collate_from_ids,
+                                                         rotate_per_graph)
+
+            def device_step_ids(params, opt_state, store, ids, lr, rng):
+                batch = collate_from_ids(store, ids[0], spec)
+                if spec.rotate:
+                    # Rotation keys derive from (step rng, item id) —
+                    # layout-invariant, so DP parity holds (see
+                    # device_dataset.random_rotations).
+                    rot_key = jax.random.fold_in(rng, 0x526f7461)
+                    batch = rotate_per_graph(batch, rot_key, ids[0],
+                                             spec.num_graphs)
+                return device_step_core(params, opt_state, batch, lr, rng)
+
+            sharded_i = shard_map(
+                device_step_ids, mesh=mesh,
+                in_specs=(P(), P(), P(), P(axis_name), P(), P()),
+                out_specs=(P(), P(), P()),
+                check_rep=False)
+            ids_cache[key] = jax.jit(sharded_i, donate_argnums=(0, 1))
+        return ids_cache[key]
+
     from pointvs_tpu.ops.sorted_segment import edge_capacity_override
 
     def step(params, opt_state, batch, lr, rng, cap=None):
         # NB type(), not isinstance(): GraphBatch is a NamedTuple.
+        if type(batch) is tuple and batch[0] == 'ids':
+            # Device-resident dataset: collate ON device from item ids
+            # (data/device_dataset.py) — the per-step H2D is ~128 bytes.
+            _, ids_dev, store, spec = batch
+            with edge_capacity_override(spec.n_pad, spec.e_pad, cap):
+                return ids_step_for(spec, cap)(
+                    params, opt_state, store, ids_dev, lr, rng)
         if type(batch) is tuple and batch[0] == 'packed':
             _, buf, template, *sym = batch
             shapes = _pad_shapes(template) if cap is not None else (0, 0)
@@ -242,10 +276,35 @@ def make_eval_step(model, model_task: Optional[str], mesh: Mesh,
             packed_cache[key] = jax.jit(sharded_p)
         return packed_cache[key]
 
+    ids_cache = {}
+
+    def ids_eval_for(spec, cap):
+        key = (spec, cap)
+        if key not in ids_cache:
+            from pointvs_tpu.data.device_dataset import collate_from_ids
+
+            def device_eval_ids(params, store, ids):
+                # No rotation at eval (matches host loaders: val datasets
+                # run rot=False; spec.rotate only drives the train step).
+                return eval_core(params, collate_from_ids(store, ids[0],
+                                                          spec))
+
+            sharded_i = shard_map(
+                device_eval_ids, mesh=mesh,
+                in_specs=(P(), P(), P(axis_name)),
+                out_specs=P(axis_name),
+                check_rep=False)
+            ids_cache[key] = jax.jit(sharded_i)
+        return ids_cache[key]
+
     from pointvs_tpu.ops.sorted_segment import edge_capacity_override
 
     def step(params, batch, cap=None):
         # NB type(), not isinstance(): GraphBatch is a NamedTuple.
+        if type(batch) is tuple and batch[0] == 'ids':
+            _, ids_dev, store, spec = batch
+            with edge_capacity_override(spec.n_pad, spec.e_pad, cap):
+                return ids_eval_for(spec, cap)(params, store, ids_dev)
         if type(batch) is tuple and batch[0] == 'packed':
             _, buf, template, *sym = batch
             shapes = _pad_shapes(template) if cap is not None else (0, 0)

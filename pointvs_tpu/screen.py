@@ -137,9 +137,28 @@ def screen(model_path, receptor, ligands, output='screen_results.csv',
         return ('host_packed', pack_stacked(wire), stacked_template(wire),
                 getattr(batch, 'inv_recv_perm', None) is not None)
 
-    dl.transfer_fn = pack_host
-    dl.prefetch = max(dl.prefetch, 3)
     import os
+    # Device-resident library (data/device_dataset.py): the whole
+    # featurised library ships to HBM once (the sizing pass above
+    # already memory-cached every item), and each batch dispatch ships
+    # only item ids — the multi-MB per-batch wire puts disappear from
+    # the scoring loop. POINTVS_SCREEN_DEVICE=0 restores the wire path.
+    dd_store = None
+    if (os.environ.get('POINTVS_SCREEN_DEVICE', '1') == '1'
+            and os.environ.get('POINTVS_SCREEN_SCAN', '0') != '1'
+            and getattr(trainer, 'graph_shard', 1) <= 1):
+        from pointvs_tpu.data.device_dataset import (
+            DeviceGraphStore, build_host_store, store_eligibility)
+        budget = float(os.environ.get('POINTVS_DD_BUDGET_MB',
+                                      '2048')) * 1e6
+        if store_eligibility(dl.dataset) is None:
+            host = build_host_store(dl.dataset)
+            if host.nbytes <= budget:
+                dd_store = DeviceGraphStore(host, trainer.mesh)
+                dl.enable_device_dataset(dd_store)
+    dl.transfer_fn = (trainer._to_device if dd_store is not None
+                      else pack_host)
+    dl.prefetch = max(dl.prefetch, 3)
     TRANSFER_GROUP = int(os.environ.get('POINTVS_SCREEN_GROUP', '8'))
     # Healthy-window A/B (2026-08-17, 1,160 poses, bs 256, hot): per-batch
     # dispatch 4.9 s (236 poses/s) vs one-program scan 13.8 s — the scan
@@ -216,10 +235,13 @@ def screen(model_path, receptor, ligands, output='screen_results.csv',
             group_meta.append(meta)
             if len(group) >= TRANSFER_GROUP:
                 flush_group()
-        else:   # non-graph layouts fall back to per-batch transfer
+        else:   # ids-mode / non-graph layouts: per-batch dispatch
+            cap_kw = ({'cap': meta.cap}
+                      if getattr(meta, 'cap', None) is not None else {})
             in_flight.append(('batch',
                               eval_fn(trainer.params,
-                                      trainer._to_device(batch)), meta))
+                                      trainer._to_device(batch),
+                                      **cap_kw), meta))
     flush_group(final=True)
     if _dbg:
         LOG.info(f'all dispatched at {time.perf_counter()-start:.2f}s')

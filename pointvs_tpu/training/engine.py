@@ -121,7 +121,8 @@ class Trainer:
                  optimiser: str = 'adam', regression_loss: str = 'mse',
                  num_devices: Optional[int] = None, seed: int = 2,
                  wandb_dir=None, profile: bool = False,
-                 graph_shard: int = 1, **model_kwargs):
+                 graph_shard: int = 1, device_cache: str = 'auto',
+                 **model_kwargs):
         assert not (use_1cycle and warm_restarts), \
             '1cycle and warm restarts are mutually exclusive'
         from pointvs_tpu.compile_cache import \
@@ -198,6 +199,16 @@ class Trainer:
         self.params = replicate(params, self.mesh)
         self.opt_state = replicate(opt_state, self.mesh)
 
+        # Device-resident dataset stores (data/device_dataset.py), one
+        # per dataset object. 'auto' enables when the dataset is
+        # eligible and fits the HBM budget; 'on' demands it; 'off'
+        # keeps the streaming wire path.
+        if device_cache not in ('auto', 'on', 'off'):
+            raise ValueError(f'device_cache must be auto/on/off, got '
+                             f'{device_cache!r}')
+        self.device_cache = device_cache
+        self._device_stores: Dict[int, Any] = {}
+
         self._train_steps: Dict[str, Any] = {}
         self._eval_steps: Dict[str, Any] = {}
         self.scheduler = None
@@ -260,6 +271,67 @@ class Trainer:
                     self.model, key, self.mesh, multitask=self.multitask)
         return self._eval_steps[key]
 
+    def _maybe_enable_device_dataset(self, loader) -> None:
+        """Switch ``loader`` to device-resident collation when allowed:
+        the whole featurised dataset ships to HBM once and each step's
+        H2D is just the sampled item ids (see data/device_dataset.py).
+        Governed by ``device_cache`` (auto/on/off), dataset eligibility
+        (no per-epoch host randomness baked into the graphs) and the
+        POINTVS_DD_BUDGET_MB upload budget (default 2048)."""
+        import os
+        if (self.device_cache == 'off'
+                or os.environ.get('POINTVS_DEVICE_DATASET', '1') == '0'):
+            return
+        demanded = self.device_cache == 'on'
+        from pointvs_tpu.data.loader import GraphDataLoader
+        if (not isinstance(loader, GraphDataLoader)
+                or loader.layout != 'graph' or loader.graph_shard > 1
+                or loader.num_shards > 1 or self.graph_shard > 1
+                or jax.process_count() > 1):
+            if demanded:
+                raise ValueError('--device_cache on requires the graph '
+                                 'layout on a single process without '
+                                 'graph sharding')
+            return
+        if loader.device_store is not None:
+            return
+        from pointvs_tpu.data.device_dataset import (
+            DeviceGraphStore, build_host_store, store_eligibility)
+        reason = store_eligibility(loader.dataset)
+        if reason is not None:
+            if demanded:
+                raise ValueError(f'--device_cache on: {reason}')
+            LOG.info(f'Device-resident dataset disabled: {reason}')
+            return
+        key = id(loader.dataset)
+        store = self._device_stores.get(key)
+        if store is None:
+            budget = float(os.environ.get('POINTVS_DD_BUDGET_MB',
+                                          '2048')) * 1e6
+            # Cheap probe before the full featurisation pass: estimate
+            # upload bytes from a sample of items (items are cached, so
+            # the probe work is reused by the full build).
+            n = len(loader.dataset)
+            probe = [loader.dataset[i]
+                     for i in range(0, n, max(1, n // 32))[:32]]
+            per_item = (sum(s.node_feats.nbytes // 4 + s.coords.nbytes
+                            + 7 * s.num_edges for s in probe)
+                        / max(1, len(probe)))
+            if per_item * n > budget and not demanded:
+                LOG.info(f'Device-resident dataset disabled: estimated '
+                         f'{per_item * n / 1e6:.0f} MB exceeds the '
+                         f'{budget / 1e6:.0f} MB budget '
+                         f'(POINTVS_DD_BUDGET_MB)')
+                return
+            host = build_host_store(loader.dataset)
+            if host.nbytes > budget and not demanded:
+                LOG.info(f'Device-resident dataset disabled: '
+                         f'{host.nbytes / 1e6:.0f} MB exceeds the budget')
+                return
+            store = DeviceGraphStore(host, self.mesh)
+            self._device_stores[key] = store
+        loader.enable_device_dataset(store)
+
     def _to_device(self, batch):
         """Compress + pack the batch into one device buffer (one H2D
         transfer; see data/wire.py). Non-GraphBatch pytrees (SiamesePair,
@@ -268,6 +340,16 @@ class Trainer:
         pass through untouched."""
         if type(batch) is tuple and batch[0] == 'packed':
             return batch
+        if type(batch) is tuple and batch[0] == 'ids':
+            # Device-resident dataset: ship the ids, point the step at
+            # the replicated store arrays (parallel/steps.py 'ids' path).
+            # Idempotent: the second element is already a device array
+            # when the loader's producer thread transferred the batch.
+            _, ids, store, spec = batch
+            if not isinstance(ids, np.ndarray):
+                return batch
+            return ('ids', shard_batch(ids, self.mesh),
+                    getattr(store, 'arrays', store), spec)
         if self.graph_shard > 1:
             # [dp, gp, ...] pytree for the 2-D steps (no wire packing:
             # the graph-shard regime is device-memory-bound, not
@@ -306,6 +388,7 @@ class Trainer:
         # wire packing + the async H2D overlap device compute.
         if hasattr(data_loader, 'transfer_fn'):
             data_loader.transfer_fn = self._to_device
+            self._maybe_enable_device_dataset(data_loader)
         steps_per_epoch = len(data_loader)
         total_steps = max(1, (epochs - init_epoch) * steps_per_epoch)
         done_steps = 0
@@ -469,6 +552,7 @@ class Trainer:
         eval_fn = self._eval_step()
         if hasattr(data_loader, 'transfer_fn'):
             data_loader.transfer_fn = self._to_device
+            self._maybe_enable_device_dataset(data_loader)
         pending = ''
         in_flight = []  # [(device_logits, meta)] — fetch deferred so the
         #                 eval dispatches pipeline instead of fencing on

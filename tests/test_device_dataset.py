@@ -1,0 +1,246 @@
+"""Device-resident dataset tests (data/device_dataset.py).
+
+Gates:
+- device-side collation is BIT-IDENTICAL to the host collator
+  (buckets.pad_graphs_to_batch) for full, partial and multi-device
+  batches, including the windowed-scatter capacity measurement;
+- the on-device per-graph rotation produces proper rotations and is
+  data-parallel-layout invariant;
+- CLI training with --device_cache on matches --device_cache off
+  (same seeds, rot off -> same batches, near-identical predictions);
+- eligibility gating falls back for per-epoch host randomness.
+"""
+import numpy as np
+import pytest
+
+from pointvs_tpu.data.buckets import (pad_graphs_to_batch, pick_bucket,
+                                      stack_device_batches,
+                                      DEFAULT_NODE_BUCKETS,
+                                      DEFAULT_EDGE_BUCKETS,
+                                      batch_scatter_cap)
+from pointvs_tpu.data.dataset import PointCloudDataset
+from pointvs_tpu.data.device_dataset import (
+    DeviceCollateSpec, batch_row_cap, build_host_store, collate_from_ids,
+    random_rotations, rotate_per_graph, store_eligibility)
+
+DATA_ROOT = 'tests/resources'
+TYPES = 'tests/resources/test.types'
+
+
+@pytest.fixture(scope='module')
+def dataset():
+    return PointCloudDataset(DATA_ROOT, types_fname=TYPES, radius=6,
+                             edge_radius=4, compact=True,
+                             polar_hydrogens=False,
+                             model_task='classification', rot=False)
+
+
+@pytest.fixture(scope='module')
+def host_store(dataset):
+    return build_host_store(dataset)
+
+
+def _host_batch(samples, num_graphs, n_pad, e_pad):
+    return pad_graphs_to_batch(samples, num_graphs=num_graphs,
+                               n_pad=n_pad, e_pad=e_pad, dynamic_cap=True)
+
+
+def _device_batch(host_store, ids, num_graphs, n_pad, e_pad):
+    import jax
+    spec = DeviceCollateSpec(n_pad=n_pad, e_pad=e_pad,
+                             num_graphs=num_graphs,
+                             symmetric=host_store.symmetric, rotate=False)
+    fn = jax.jit(lambda store, i: collate_from_ids(store, i, spec))
+    return jax.tree.map(np.asarray, fn(
+        host_store.arrays, np.asarray(ids, np.int32)))
+
+
+def _assert_batch_equal(dev, host):
+    np.testing.assert_array_equal(dev.node_feats, host.node_feats)
+    np.testing.assert_array_equal(dev.coords, host.coords)
+    np.testing.assert_array_equal(dev.node_mask, host.node_mask)
+    np.testing.assert_array_equal(dev.graph_id, host.graph_id)
+    np.testing.assert_array_equal(dev.senders, host.senders)
+    np.testing.assert_array_equal(dev.receivers, host.receivers)
+    np.testing.assert_array_equal(dev.edge_attr, host.edge_attr)
+    np.testing.assert_array_equal(dev.edge_mask, host.edge_mask)
+    np.testing.assert_array_equal(dev.y, host.y)
+    np.testing.assert_array_equal(dev.graph_mask, host.graph_mask)
+    np.testing.assert_array_equal(dev.strain, host.strain)
+    np.testing.assert_array_equal(dev.recv_perm, host.recv_perm)
+    if host.inv_recv_perm is not None:
+        np.testing.assert_array_equal(dev.inv_recv_perm,
+                                      host.inv_recv_perm)
+
+
+def test_collation_bit_exact_full_batch(dataset, host_store):
+    n = len(dataset)
+    ids = list(range(min(4, n)))
+    samples = [dataset[i] for i in ids]
+    n_pad = pick_bucket(sum(s.num_nodes for s in samples),
+                        DEFAULT_NODE_BUCKETS)
+    e_pad = pick_bucket(sum(s.num_edges for s in samples),
+                        DEFAULT_EDGE_BUCKETS)
+    host = _host_batch(samples, len(ids), n_pad, e_pad)
+    dev = _device_batch(host_store, ids, len(ids), n_pad, e_pad)
+    _assert_batch_equal(dev, host)
+    # Host symmetry detection agrees with the store-level fact.
+    assert (host.inv_recv_perm is not None) == host_store.symmetric
+
+
+def test_collation_partial_and_repeated(dataset, host_store):
+    """Short batches (sentinel -1 slots) and with-replacement repeats."""
+    ids = [1, 1, 0]
+    samples = [dataset[i] for i in ids]
+    num_graphs = 5
+    n_pad = pick_bucket(sum(s.num_nodes for s in samples),
+                        DEFAULT_NODE_BUCKETS)
+    e_pad = pick_bucket(sum(s.num_edges for s in samples),
+                        DEFAULT_EDGE_BUCKETS)
+    host = _host_batch(samples, num_graphs, n_pad, e_pad)
+    dev = _device_batch(host_store, ids + [-1, -1], num_graphs,
+                        n_pad, e_pad)
+    _assert_batch_equal(dev, host)
+
+
+def test_cap_measurement_matches_host(dataset, host_store):
+    ids = [0, 1, 0]
+    samples = [dataset[i] for i in ids]
+    n_pad = pick_bucket(sum(s.num_nodes for s in samples),
+                        DEFAULT_NODE_BUCKETS)
+    e_pad = pick_bucket(sum(s.num_edges for s in samples),
+                        DEFAULT_EDGE_BUCKETS)
+    host = _host_batch(samples, len(ids), n_pad, e_pad)
+    assert batch_row_cap(host_store, np.array(ids + [-1]), n_pad) \
+        == batch_scatter_cap(host)
+
+
+def test_rotation_properties(host_store):
+    import jax
+    key = jax.random.PRNGKey(3)
+    ids = np.arange(6, dtype=np.int32)
+    mats = np.asarray(random_rotations(key, ids))
+    eye = np.eye(3, dtype=np.float32)
+    for m in mats:
+        np.testing.assert_allclose(m @ m.T, eye, atol=1e-5)
+        assert np.linalg.det(m) == pytest.approx(1.0, abs=1e-5)
+    # Layout invariance: the same item id gets the same rotation
+    # regardless of its slot/device placement.
+    mats_b = np.asarray(random_rotations(key, ids[::-1].copy()))
+    np.testing.assert_array_equal(mats_b, mats[::-1])
+    # Distinct items get distinct rotations.
+    assert not np.allclose(mats[0], mats[1])
+
+
+def test_rotation_preserves_invariants(dataset, host_store):
+    import jax
+    ids = [0, 1]
+    samples = [dataset[i] for i in ids]
+    n_pad = pick_bucket(sum(s.num_nodes for s in samples),
+                        DEFAULT_NODE_BUCKETS)
+    e_pad = pick_bucket(sum(s.num_edges for s in samples),
+                        DEFAULT_EDGE_BUCKETS)
+    spec = DeviceCollateSpec(n_pad, e_pad, len(ids),
+                             host_store.symmetric, rotate=False)
+    batch = collate_from_ids(host_store.arrays,
+                             np.asarray(ids, np.int32), spec)
+    rot = rotate_per_graph(batch, jax.random.PRNGKey(0),
+                           np.asarray(ids, np.int32), len(ids))
+    c0, c1 = np.asarray(batch.coords), np.asarray(rot.coords)
+    # Norms preserved (rotation about the origin, as the host applies).
+    np.testing.assert_allclose(np.linalg.norm(c1, axis=1),
+                               np.linalg.norm(c0, axis=1), atol=1e-4)
+    # Padding rows stay zero.
+    pad = np.asarray(batch.node_mask) == 0
+    assert np.all(c1[pad] == 0)
+    # Pairwise distances within a graph preserved (first graph).
+    g0 = np.asarray(batch.graph_id) == 0
+    d0 = np.linalg.norm(c0[g0][:, None] - c0[g0][None], axis=-1)
+    d1 = np.linalg.norm(c1[g0][:, None] - c1[g0][None], axis=-1)
+    np.testing.assert_allclose(d1, d0, atol=1e-3)
+
+
+def test_eligibility_gates():
+    class FakeDS:
+        p_remove_entity = 0
+        p_noise = -1
+        pre_aug_ds_len = 10
+
+        def __len__(self):
+            return 10
+
+    ds = FakeDS()
+    assert store_eligibility(ds) is None
+    ds.p_noise = 0.1
+    assert 'p_noise' in store_eligibility(ds)
+    ds.p_noise = -1
+    ds.pre_aug_ds_len = 8
+    assert 'augmented' in store_eligibility(ds)
+    ds.pre_aug_ds_len = 10
+    ds.p_remove_entity = 0.5
+    assert 'p_remove_entity' in store_eligibility(ds)
+
+
+def test_loader_ids_mode_matches_streaming(dataset, host_store):
+    """The ids-mode loader yields the same index stream, buckets and
+    metadata as the streaming loader, and the device-collated batches
+    equal the streaming collator's output batch-for-batch."""
+    import jax
+    from pointvs_tpu.data.loader import GraphDataLoader
+
+    class Store:   # minimal DeviceGraphStore stand-in (host == device)
+        def __init__(self, host):
+            self.host = host
+            self.arrays = host.arrays
+
+    kw = dict(batch_size=2, mode='train', num_devices=2, prefetch=0,
+              seed=11, drop_last=False)
+    stream = GraphDataLoader(dataset, **kw)
+    ids_loader = GraphDataLoader(dataset, **kw)
+    ids_loader.enable_device_dataset(Store(host_store))
+    for (sb, sm), (ib, im) in zip(stream, ids_loader):
+        assert ib[0] == 'ids'
+        _, ids, store, spec = ib
+        assert sm.lig_fnames == im.lig_fnames
+        assert sm.cap == im.cap
+        np.testing.assert_array_equal(sm.y, im.y)
+        np.testing.assert_array_equal(sm.graph_mask, im.graph_mask)
+        # Per-device collation parity against the streaming batch.
+        fn = jax.jit(lambda s, i: collate_from_ids(s, i, spec))
+        for d in range(kw['num_devices']):
+            dev = jax.tree.map(np.asarray, fn(store.arrays, ids[d]))
+            host_d = jax.tree.map(
+                lambda a: None if a is None else np.asarray(a)[d], sb)
+            _assert_batch_equal(dev, host_d)
+
+
+def test_cli_device_cache_parity(tmp_path):
+    """--device_cache on vs off: identical sampling, near-identical
+    training (the only difference is XLA fusion boundaries around the
+    prepended collate)."""
+    from pointvs_tpu.main import main as train_main
+
+    def preds(path):
+        vals = []
+        with open(path) as f:
+            for line in f:
+                parts = line.split()
+                if len(parts) >= 3:
+                    vals.append(float(parts[2]))
+        return np.array(vals)
+
+    flags = ['--train_data_root_pose', DATA_ROOT,
+             '--train_types_pose', TYPES,
+             '--test_data_root_pose', DATA_ROOT,
+             '--test_types_pose', TYPES,
+             '--layers', '2', '--egnn_attention', '--compact',
+             '--prefetch', '0', '-ep', '2', '-b', '2',
+             '--num_devices', '1']
+    train_main(['egnn', str(tmp_path / 'off'), *flags,
+                '--device_cache', 'off'])
+    train_main(['egnn', str(tmp_path / 'on'), *flags,
+                '--device_cache', 'on'])
+    p_off = preds(tmp_path / 'off' / 'pose_predictions.txt')
+    p_on = preds(tmp_path / 'on' / 'pose_predictions.txt')
+    assert len(p_off) == len(p_on) > 0
+    np.testing.assert_allclose(p_on, p_off, atol=5e-5)
