@@ -292,14 +292,17 @@ class PointCloudDataset:
     def _cache_key(self, lig_fname, rec_fname) -> Optional[Path]:
         if self.cache_dir is None:
             return None
-        # 'lex2' = blob-format generation: edges lex-sorted by
+        # 'lex3' = blob-format generation: edges lex-sorted by
         # (sender, receiver) so batches qualify for the symmetric-half
-        # wire format (wire.WireBatchV3). Bump on edge-order changes so
-        # stale caches regenerate rather than silently disqualifying v3.
+        # wire format (wire.WireBatchV3) and the device-dataset
+        # involution fast path. Bump on edge-order changes so stale
+        # caches regenerate rather than silently disqualifying v3
+        # (lex2 -> lex3: the shared-receptor path used to sort by
+        # sender only).
         params = (str(lig_fname), str(rec_fname), self.radius,
                   self.edge_radius, self.estimate_bonds, self.prune,
                   self.polar_hydrogens, self.use_atomic_numbers,
-                  self.extended_atom_types, self.bp, 'lex2')
+                  self.extended_atom_types, self.bp, 'lex3')
         digest = hashlib.sha1(repr(params).encode()).hexdigest()[:24]
         return self.cache_dir / f'{digest}.bin'
 

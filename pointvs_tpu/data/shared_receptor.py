@@ -267,7 +267,13 @@ class SharedReceptorDataset(PointCloudDataset):
         cols = np.concatenate(blocks_c).astype(np.int32)
         attrs = np.concatenate(blocks_a)
         n_nodes = len(struct['bp'])
-        order = _stable_argsort_ids(rows, n_nodes)
+        # LEX sort by (sender, receiver) — not sender alone — to meet the
+        # base _edges_for contract (dataset.py): lex order qualifies
+        # batches for the symmetric-half wire format and makes recv_perm
+        # a mirror involution (device_dataset symmetric fast path).
+        o1 = _stable_argsort_ids(cols, n_nodes)
+        o2 = _stable_argsort_ids(rows[o1], n_nodes)
+        order = o1[o2]
         rows, cols, attrs = rows[order], cols[order], attrs[order]
         onehot = np.zeros((len(attrs), 3), dtype=np.float32)
         if len(attrs):

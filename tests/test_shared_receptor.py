@@ -43,6 +43,16 @@ def test_shared_receptor_matches_standard_pipeline(kwargs):
         # the per-sample perms must actually sort receivers
         rb = np.asarray(b.receivers)[np.asarray(b.recv_perm)]
         assert np.all(rb[1:] >= rb[:-1])
+        # lex (sender, receiver) order — the base _edges_for contract:
+        # qualifies batches for wire v3 and makes recv_perm a mirror
+        # involution (device_dataset symmetric fast path). Regression:
+        # the fast path used to sort by sender only.
+        sl, rl = np.asarray(b.senders), np.asarray(b.receivers)
+        if len(sl) > 1:
+            assert np.all((sl[1:] > sl[:-1])
+                          | ((sl[1:] == sl[:-1]) & (rl[1:] >= rl[:-1])))
+        rp = np.asarray(b.recv_perm)
+        assert np.array_equal(rl[rp], sl) and np.array_equal(sl[rp], rl)
 
 
 def test_shared_receptor_fallback_paths():
