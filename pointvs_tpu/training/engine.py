@@ -303,17 +303,27 @@ class Trainer:
                 raise ValueError(f'--device_cache on: {reason}')
             LOG.info(f'Device-resident dataset disabled: {reason}')
             return
-        key = id(loader.dataset)
-        store = self._device_stores.get(key)
+        # Keyed by object identity; the dict holds the dataset itself so
+        # the id cannot be recycled by a later allocation after GC.
+        hit = self._device_stores.get(id(loader.dataset))
+        store = hit[1] if hit is not None else None
         if store is None:
             budget = float(os.environ.get('POINTVS_DD_BUDGET_MB',
                                           '2048')) * 1e6
             # Cheap probe before the full featurisation pass: estimate
             # upload bytes from a sample of items (items are cached, so
-            # the probe work is reused by the full build).
+            # the probe work is reused by the full build). Rotation off
+            # so the probe does not consume the dataset's host rng.
             n = len(loader.dataset)
-            probe = [loader.dataset[i]
-                     for i in range(0, n, max(1, n // 32))[:32]]
+            rot = bool(getattr(loader.dataset, 'rot', False))
+            if rot:
+                loader.dataset.rot = False
+            try:
+                probe = [loader.dataset[i]
+                         for i in range(0, n, max(1, n // 32))[:32]]
+            finally:
+                if rot:
+                    loader.dataset.rot = True
             per_item = (sum(s.node_feats.nbytes // 4 + s.coords.nbytes
                             + 7 * s.num_edges for s in probe)
                         / max(1, len(probe)))
@@ -329,7 +339,8 @@ class Trainer:
                          f'{host.nbytes / 1e6:.0f} MB exceeds the budget')
                 return
             store = DeviceGraphStore(host, self.mesh)
-            self._device_stores[key] = store
+            self._device_stores[id(loader.dataset)] = (loader.dataset,
+                                                       store)
         loader.enable_device_dataset(store)
 
     def _to_device(self, batch):
