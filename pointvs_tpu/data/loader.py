@@ -258,6 +258,23 @@ class GraphDataLoader:
         return SiamesePair(rec=side(rec_samples),
                            lig=side(lig_samples)), meta
 
+    def _check_pinned_shapes(self, batch: GraphBatch) -> None:
+        """Multi-process runs pad to pinned single buckets; a batch that
+        silently extended past them (pick_bucket grows the grid, the
+        capacity pre-pass grows e_pad) would trace a different program
+        on one process and deadlock the collective step — fail loudly
+        instead."""
+        if self.num_shards <= 1:
+            return
+        if (len(self.node_buckets) == 1 and len(self.edge_buckets) == 1
+                and (batch.num_nodes != self.node_buckets[0]
+                     or batch.num_edges != self.edge_buckets[0])):
+            raise ValueError(
+                f'batch padded to ({batch.num_nodes}, {batch.num_edges}) '
+                f'— beyond the pinned buckets ({self.node_buckets[0]}, '
+                f'{self.edge_buckets[0]}); raise --node_bucket/'
+                f'--edge_bucket (and --scatter_cap if set)')
+
     def _collate(self, samples: List[GraphSample]
                  ) -> Tuple[GraphBatch, BatchMeta]:
         meta = BatchMeta([s.lig_fname for s in samples],
@@ -268,6 +285,7 @@ class GraphDataLoader:
                 node_buckets=self.node_buckets,
                 edge_buckets=self.edge_buckets,
                 dynamic_cap=self.dynamic_cap)
+            self._check_pinned_shapes(batch)
             if self.dynamic_cap:
                 meta.cap = self._meta_cap(batch_scatter_cap(batch))
             # Leading device axis [1, ...] so train/eval steps see one
@@ -322,6 +340,8 @@ class GraphDataLoader:
                 shard_batch = shard_batch._replace(
                     graph_mask=np.zeros_like(shard_batch.graph_mask))
             batches.append(shard_batch)
+        for b in batches:
+            self._check_pinned_shapes(b)
         if self.dynamic_cap:
             # One capacity for all shards (shapes — and therefore the
             # compiled program — are shared across the device axis).
@@ -332,12 +352,20 @@ class GraphDataLoader:
     def enable_device_dataset(self, store) -> None:
         """Switch this loader to device-resident collation (store is a
         device_dataset.DeviceGraphStore built from this loader's
-        dataset). Graph layout, single process, no graph sharding."""
-        if (self.layout != 'graph' or self.graph_shard > 1
-                or self.num_shards > 1):
+        dataset). Graph layout, no graph sharding; multi-process runs
+        additionally need pinned single buckets + --scatter_cap so every
+        process compiles the one identical spec (divergent specs would
+        trace different programs for one collective step)."""
+        if self.layout != 'graph' or self.graph_shard > 1:
             raise ValueError('device-resident datasets require the graph '
-                             'layout on a single process without '
-                             'graph sharding')
+                             'layout without graph sharding')
+        if self.num_shards > 1 and not (
+                len(self.node_buckets) == 1 and len(self.edge_buckets) == 1
+                and self.scatter_cap is not None):
+            raise ValueError('multi-process device-resident datasets need '
+                             'pinned --node_bucket/--edge_bucket and '
+                             '--scatter_cap (processes cannot negotiate '
+                             'batch specs)')
         if len(store.host.num_nodes) != len(self.dataset):
             raise ValueError('store was built from a different dataset')
         self.device_store = store
@@ -379,6 +407,15 @@ class GraphDataLoader:
                         default=1)
             n_pad = pick_bucket(max(max_n, 1), self.node_buckets)
             e_pad = pick_bucket(max(max_e, 1), self.edge_buckets)
+            if self.num_shards > 1 and (n_pad != self.node_buckets[0]
+                                        or e_pad != self.edge_buckets[0]):
+                # pick_bucket silently extends past the grid; divergent
+                # per-process shapes would deadlock the collective step.
+                raise ValueError(
+                    f'batch exceeds the pinned buckets '
+                    f'({max_n}/{max_e} vs {self.node_buckets[0]}/'
+                    f'{self.edge_buckets[0]}); raise --node_bucket/'
+                    f'--edge_bucket')
             loads_w = [batch_row_cap(host, ids[d], n_pad, bucket=False)
                        for d in range(self.num_devices)]
             cap = None

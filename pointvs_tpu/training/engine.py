@@ -284,14 +284,24 @@ class Trainer:
             return
         demanded = self.device_cache == 'on'
         from pointvs_tpu.data.loader import GraphDataLoader
+        # Multi-process runs qualify only with pinned single buckets AND
+        # a pinned --scatter_cap: the one identical batch spec then
+        # compiles the one identical program on every process.
+        multiproc_ok = (
+            len(getattr(loader, 'node_buckets', ())) == 1
+            and len(getattr(loader, 'edge_buckets', ())) == 1
+            and getattr(loader, 'scatter_cap', None) is not None)
         if (not isinstance(loader, GraphDataLoader)
                 or loader.layout != 'graph' or loader.graph_shard > 1
-                or loader.num_shards > 1 or self.graph_shard > 1
-                or jax.process_count() > 1):
+                or self.graph_shard > 1
+                or ((loader.num_shards > 1 or jax.process_count() > 1)
+                    and not multiproc_ok)):
             if demanded:
-                raise ValueError('--device_cache on requires the graph '
-                                 'layout on a single process without '
-                                 'graph sharding')
+                raise ValueError(
+                    '--device_cache on requires the graph layout without '
+                    'graph sharding; multi-process runs additionally '
+                    'need pinned --node_bucket/--edge_bucket and '
+                    '--scatter_cap')
             return
         if loader.device_store is not None:
             return

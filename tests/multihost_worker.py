@@ -112,6 +112,39 @@ def main():
     real = arr.reshape(mask.shape[0], -1)[mask]
     np.savez(f'{out}/eval_{n_proc}proc_{pid}.npz', logits=real)
 
+    # Device-resident dataset under multi-process: pinned single buckets
+    # + pinned --scatter_cap give every process the one identical batch
+    # spec, so the ids-collation step compiles one program globally.
+    # Same seed/stream as the wire phase above -> identical batches ->
+    # the per-step losses must match the wire path.
+    from pointvs_tpu.data.device_dataset import (DeviceGraphStore,
+                                                 build_host_store)
+    dd = GraphDataLoader(
+        ds, batch_size=8 // n_proc, mode='train', num_devices=local_rows,
+        prefetch=0, seed=3, shard_index=pid, num_shards=n_proc,
+        node_buckets=(256,), edge_buckets=(1024,), scatter_cap=2048)
+    dd.enable_device_dataset(DeviceGraphStore(build_host_store(ds), mesh))
+    params2 = replicate(jax.jit(model.init)(jax.random.PRNGKey(0),
+                                            init_batch), mesh)
+    opt2 = replicate(tx.init(jax.jit(model.init)(jax.random.PRNGKey(0),
+                                                 init_batch)), mesh)
+    dd_losses = []
+    for _ in range(2):
+        for batch, meta in dd:
+            assert batch[0] == 'ids', batch[0]
+            _, ids_np, st, spec = batch
+            dev = ('ids', shard_batch(ids_np, mesh), st.arrays, spec)
+            params2, opt2, loss = step(params2, opt2, dev, lr, rng,
+                                       cap=meta.cap)
+            dd_losses.append(float(np.asarray(jax.device_get(loss))))
+    np.testing.assert_allclose(np.array(dd_losses), np.array(losses),
+                               atol=1e-5)
+    if pid == 0:
+        leaves = jax.tree.leaves(jax.device_get(params2))
+        np.savez(f'{out}/result_dd_{n_proc}proc.npz',
+                 losses=np.array(dd_losses),
+                 **{f'p{i}': np.asarray(l) for i, l in enumerate(leaves)})
+
     # All processes must stay alive until every file has been written.
     if n_proc > 1:
         import jax.experimental.multihost_utils as mhu

@@ -82,6 +82,19 @@ def test_two_process_training_matches_single_process(tmp_path):
          for p in (0, 1)]))
     np.testing.assert_allclose(ev1, ev2, atol=1e-5)
 
+    # Device-resident dataset phase (pinned buckets + scatter_cap): the
+    # ids-collation step must also reproduce single-process training
+    # across the 2-process mesh. (The worker itself asserts ids-mode
+    # losses == wire-mode losses per process.)
+    one_dd = np.load(f'{out}/result_dd_1proc.npz')
+    two_dd = np.load(f'{out}/result_dd_2proc.npz')
+    np.testing.assert_allclose(one_dd['losses'], two_dd['losses'],
+                               atol=1e-5)
+    keys = sorted(k for k in one_dd.files if k.startswith('p'))
+    for k in keys:
+        np.testing.assert_allclose(one_dd[k], two_dd[k], atol=1e-5,
+                                   err_msg=f'dd param leaf {k}')
+
 
 def test_loader_striping_partitions_indices_exactly():
     """shard_index/num_shards stripes of the same seeded stream are a
