@@ -111,14 +111,22 @@ def build_host_store(dataset) -> HostStore:
     reason = store_eligibility(dataset)
     if reason is not None:
         raise ValueError(f'dataset not device-residable: {reason}')
-    rot = bool(getattr(dataset, 'rot', False))
+    had_rot = bool(getattr(dataset, 'rot', False))
+    rot = had_rot
     if rot:
+        # Only datasets whose own __getitem__ applies the per-epoch
+        # rotation get it re-applied on device. Subclasses that override
+        # __getitem__ and ignore ``rot`` (e.g. SynthPharmDataset) must
+        # not gain a rotation the host path never performed.
+        from pointvs_tpu.data.dataset import PointCloudDataset
+        rot = type(dataset).__getitem__ is PointCloudDataset.__getitem__
+    if had_rot:
         dataset.rot = False
     t0 = time.perf_counter()
     try:
         samples = [dataset[i] for i in range(len(dataset))]
     finally:
-        if rot:
+        if had_rot:
             dataset.rot = True
     if not samples:
         raise ValueError('empty dataset')

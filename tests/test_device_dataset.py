@@ -160,6 +160,32 @@ def test_rotation_preserves_invariants(dataset, host_store):
     np.testing.assert_allclose(d1, d0, atol=1e-3)
 
 
+def test_rotation_spec_gating():
+    """Stores record rot only for datasets whose OWN __getitem__ applies
+    it; overriding subclasses that ignore rot must not gain a device
+    rotation. The build pass restores the dataset's rot flag."""
+    rot_ds = PointCloudDataset(DATA_ROOT, types_fname=TYPES, radius=6,
+                               edge_radius=4, compact=True,
+                               polar_hydrogens=False,
+                               model_task='classification', rot=True)
+    host = build_host_store(rot_ds)
+    assert host.rot is True
+    assert rot_ds.rot is True          # restored after the build pass
+
+    class IgnoresRot(PointCloudDataset):
+        def __getitem__(self, item):   # pretend rot-unaware override
+            save, self.rot = self.rot, False
+            try:
+                return super().__getitem__(item)
+            finally:
+                self.rot = save
+
+    ign = IgnoresRot(DATA_ROOT, types_fname=TYPES, radius=6,
+                     edge_radius=4, compact=True, polar_hydrogens=False,
+                     model_task='classification', rot=True)
+    assert build_host_store(ign).rot is False
+
+
 def test_eligibility_gates():
     class FakeDS:
         p_remove_entity = 0
