@@ -57,3 +57,31 @@ def test_screen_scan_groups_match_dispatch(model_dir, tmp_path,
     scan_scores = df_scan.sort_values('ligand').score.to_numpy()
     ref_scores = df_ref.sort_values('ligand').score.to_numpy()
     np.testing.assert_allclose(scan_scores, ref_scores, atol=1e-6)
+
+
+def test_screen_oneshot_and_repeat_match_dispatch(model_dir, tmp_path,
+                                                  monkeypatch):
+    """The one-shot mega-batch re-batching (whole library in one
+    execution) and the sustained-rate repeat passes score identically
+    to the default per-batch device-store dispatch."""
+    lib = tmp_path / 'library'
+    lib.mkdir()
+    for i in range(5):
+        shutil.copy('tests/resources/lig_0.parquet',
+                    lib / f'lig_{i}.parquet')
+
+    def run(tag, **env):
+        for k, v in env.items():
+            monkeypatch.setenv(k, v)
+        out = tmp_path / f'hits_{tag}.csv'
+        df = screen(model_dir, 'tests/resources/rec_0.parquet',
+                    str(lib), output=str(out), batch_size=2)
+        for k in env:
+            monkeypatch.delenv(k)
+        return df.sort_values('ligand').score.to_numpy()
+
+    ref = run('ref')
+    oneshot = run('oneshot', POINTVS_SCREEN_ONESHOT='1')
+    repeat = run('repeat', POINTVS_SCREEN_REPEAT='3')
+    np.testing.assert_allclose(oneshot, ref, atol=1e-6)
+    np.testing.assert_allclose(repeat, ref, atol=1e-6)
