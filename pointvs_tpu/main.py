@@ -177,9 +177,10 @@ def main(argv=None):
             raise SystemExit(
                 f'--num_devices {num_devices} must be divisible by '
                 f'--graph_shard {args.graph_shard}')
-        if args.model not in ('egnn', 'lucid', 'en_transformer'):
-            raise SystemExit('--graph_shard supports the egnn, lucid and '
-                             'en_transformer models')
+        if args.model not in ('egnn', 'lucid', 'en_transformer',
+                              'multitask'):
+            raise SystemExit('--graph_shard supports the egnn, lucid, '
+                             'en_transformer and multitask models')
         if args.multihost:
             raise SystemExit('--graph_shard with --multihost is not '
                              'supported yet: per-process 2-D batch '

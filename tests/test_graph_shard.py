@@ -26,7 +26,8 @@ def _sample():
     return ds[0]
 
 
-@pytest.mark.parametrize('name', ['egnn', 'lucid', 'en_transformer'])
+@pytest.mark.parametrize('name', ['egnn', 'lucid', 'en_transformer',
+                                  'multitask'])
 def test_edge_parallel_matches_single_device(name):
     if len(jax.devices()) < 4:
         pytest.skip('needs 4 virtual devices')
