@@ -76,6 +76,12 @@ def parse_args(argv=None):
     parser.add_argument('--prune', action='store_true')
     parser.add_argument('--top1', action='store_true')
     parser.add_argument('--graphnorm', action='store_true')
+    parser.add_argument('--strict_graphnorm', action='store_true',
+                        help='reference-exact GraphNorm: whole-batch '
+                             'statistics (the reference always calls pyg '
+                             'GraphNorm with batch=None), so predictions '
+                             'depend on batch composition; default is '
+                             'per-graph masked statistics')
     parser.add_argument('--multi_fc', action='store_true')
     parser.add_argument('--lucid_node_final_act', action='store_true')
     parser.add_argument('--p_remove_entity', type=float, default=0)
@@ -210,6 +216,7 @@ def model_kwargs_from_args(args, dim_input: int) -> dict:
         'residual': args.egnn_residual,
         'edge_residual': args.egnn_edge_residual,
         'graphnorm': args.graphnorm,
+        'graphnorm_whole_batch': getattr(args, 'strict_graphnorm', False),
         'multi_fc': args.multi_fc,
         'update_coords': not args.static_coords,
         'node_final_act': args.lucid_node_final_act,

@@ -55,6 +55,10 @@ class EGNNLayer(nn.Module):
     normalize: bool = False
     tanh: bool = False
     graphnorm: bool = False
+    # Reference-exact strict mode: whole-batch GraphNorm statistics
+    # (the reference always calls pyg GraphNorm with batch=None,
+    # egnn_satorras.py:84). Default stays per-graph masked stats.
+    graphnorm_whole_batch: bool = False
     update_coords: bool = True
     permutation_invariance: bool = False
     node_attention: bool = False
@@ -76,8 +80,9 @@ class EGNNLayer(nn.Module):
         self.node_lin1 = TorchLinear(self.hidden_nf, dtype=self.dtype,
                                      name='node_lin1')
         if self.graphnorm:
-            self.node_graphnorm = GraphNorm(self.hidden_nf,
-                                            name='node_graphnorm')
+            self.node_graphnorm = GraphNorm(
+                self.hidden_nf, whole_batch=self.graphnorm_whole_batch,
+                name='node_graphnorm')
         self.node_lin2 = TorchLinear(self.output_nf, dtype=self.dtype,
                                      name='node_lin2')
         self.coord_mlp = MLP(
@@ -315,6 +320,10 @@ class SartorrasEGNN(nn.Module):
     tanh: bool = True
     dropout: float = 0.0
     graphnorm: bool = True
+    # --strict_graphnorm: reference-exact whole-batch statistics (see
+    # EGNNLayer.graphnorm_whole_batch). Makes predictions depend on
+    # batch composition, exactly as the reference's do.
+    graphnorm_whole_batch: bool = False
     multi_fc: bool = False
     update_coords: bool = True
     permutation_invariance: bool = False
@@ -363,7 +372,9 @@ class SartorrasEGNN(nn.Module):
             dtype=jnp.bfloat16 if self.bf16 else None,
             edges_in_d=3, act=self.act, residual=self.residual,
             edge_attention=self.edge_attention, normalize=self.normalize,
-            graphnorm=self.graphnorm, tanh=self.tanh,
+            graphnorm=self.graphnorm,
+            graphnorm_whole_batch=self.graphnorm_whole_batch,
+            tanh=self.tanh,
             update_coords=self.update_coords,
             permutation_invariance=self.permutation_invariance,
             attention_activation_fn=self.attention_activation_fn,
@@ -423,6 +434,11 @@ class SartorrasEGNN(nn.Module):
         """
         h = self.input_embed(batch.node_feats)
         coord = batch.coords
+        if h.dtype == jnp.float64:
+            # --double mode: params are f64, so h promotes at the embed;
+            # coords must follow or the layer-scan carry would flip dtype
+            # mid-scan. (bf16 mode deliberately keeps coords f32.)
+            coord = coord.astype(jnp.float64)
         edge_attr = batch.edge_attr
         edge_mask = batch.edge_mask
         if self.dropout > 0 and train:

@@ -51,6 +51,14 @@ def load_model(weights_path, silent: bool = False,
     cmd_args = load_yaml(cmd_args_path) if cmd_args_path.exists() else {}
 
     model_name = cmd_args.get('model', 'egnn')
+    if cmd_args.get('double', False):
+        # f64 checkpoints (--double) need x64 enabled before any jax
+        # array is created, or restore silently downcasts to f32.
+        import jax
+        if jax.default_backend() != 'cpu':
+            raise ValueError('this model was trained with --double '
+                             '(float64); load it on the CPU backend')
+        jax.config.update('jax_enable_x64', True)
     trainer = Trainer(
         model_name,
         root if init_path else root,
@@ -68,6 +76,7 @@ def load_model(weights_path, silent: bool = False,
         # checkpoint on an ordinary dp mesh.
         graph_shard=(cmd_args.get('graph_shard', 1) if init_path else 1),
         device_cache=cmd_args.get('device_cache', 'auto'),
+        double=cmd_args.get('double', False),
         **model_kwargs)
     trainer.load_weights(ckpt, silent=silent)
     return trainer, model_kwargs, cmd_args

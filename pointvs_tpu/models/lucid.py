@@ -84,6 +84,10 @@ class LucidEGNNLayer(nn.Module):
     tanh: bool = True
     thin_mlps: bool = False
     graphnorm: bool = False
+    # Reference-exact whole-batch GraphNorm statistics (the reference
+    # wraps pyg GraphNorm in nn.Sequential, egnn_lucid.py:255/267, so it
+    # always runs with batch=None). Default: per-graph masked stats.
+    graphnorm_whole_batch: bool = False
     node_final_act: bool = False
 
     def setup(self):
@@ -112,7 +116,8 @@ class LucidEGNNLayer(nn.Module):
             bias_init=nn.initializers.zeros)
         if self.graphnorm:
             self.node_graphnorm = GraphNorm(
-                k if self.thin_mlps else k * 2)
+                k if self.thin_mlps else k * 2,
+                whole_batch=self.graphnorm_whole_batch)
         if not self.thin_mlps:
             self.node_lin2 = nn.Dense(
                 k, kernel_init=xavier_normal,
@@ -220,6 +225,7 @@ class LucidEGNN(nn.Module):
     tanh: bool = True
     update_coords: bool = True
     graphnorm: bool = False
+    graphnorm_whole_batch: bool = False
     thin_mlps: bool = False
     node_final_act: bool = False
     model_task: str = 'classification'
@@ -238,7 +244,9 @@ class LucidEGNN(nn.Module):
             norm_feats=self.norm_feats, norm_coors=self.norm_coords,
             update_coors=self.update_coords, dropout=self.dropout,
             tanh=self.tanh, thin_mlps=self.thin_mlps,
-            graphnorm=self.graphnorm, node_final_act=self.node_final_act)
+            graphnorm=self.graphnorm,
+            graphnorm_whole_batch=self.graphnorm_whole_batch,
+            node_final_act=self.node_final_act)
 
     def setup(self):
         self.input_embed = nn.Dense(self.k, kernel_init=xavier_normal,

@@ -39,8 +39,17 @@ def broadcast_per_graph(per_graph, graph_id, num_graphs):
 
 
 class GraphNorm(nn.Module):
+    """``whole_batch=False`` (default): per-graph masked statistics — the
+    norm's published semantics. ``whole_batch=True``: reference-exact
+    strict mode — the reference wraps pyg GraphNorm in ``nn.Sequential``
+    (egnn_satorras.py:84), so it always runs with ``batch=None`` and
+    normalises over the WHOLE concatenated node batch, making its
+    predictions depend on batch composition. Statistics are mask-weighted
+    over real nodes either way (static-shape padding must not dilute
+    them)."""
     features: int
     eps: float = 1e-5
+    whole_batch: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, graph_id: jnp.ndarray,
@@ -50,12 +59,22 @@ class GraphNorm(nn.Module):
         mean_scale = self.param('mean_scale', nn.initializers.ones,
                                 (self.features,))
 
-        mean = _masked_graph_mean(x, graph_id, num_graphs, node_mask)
-        out = x - broadcast_per_graph(mean, graph_id,
-                                      num_graphs) * mean_scale
-        var = _masked_graph_mean(out * out, graph_id, num_graphs, node_mask)
-        std = jnp.sqrt(
-            broadcast_per_graph(var, graph_id, num_graphs) + self.eps)
+        if self.whole_batch:
+            count = jnp.maximum(jnp.sum(node_mask), 1.0)
+            mean = jnp.sum(x * node_mask[:, None], axis=0) / count
+            out = x - mean[None, :] * mean_scale
+            # Variance over real rows only: padding rows of ``out`` are
+            # -mean*mean_scale (non-zero), so they must be masked out.
+            var = jnp.sum((out * out) * node_mask[:, None], axis=0) / count
+            std = jnp.sqrt(var + self.eps)[None, :]
+        else:
+            mean = _masked_graph_mean(x, graph_id, num_graphs, node_mask)
+            out = x - broadcast_per_graph(mean, graph_id,
+                                          num_graphs) * mean_scale
+            var = _masked_graph_mean(out * out, graph_id, num_graphs,
+                                     node_mask)
+            std = jnp.sqrt(
+                broadcast_per_graph(var, graph_id, num_graphs) + self.eps)
         # Padding rows (graph_id == num_graphs) broadcast all-zero stats,
         # so x/sqrt(eps) would AMPLIFY them ~300x per layer — at 13+
         # layers they overflow to inf and poison real rows through the

@@ -212,7 +212,10 @@ def _xla_windowed_impl(data, sorted_ids, num_segments, window, max_eb):
     local_iota = jnp.arange(window, dtype=sorted_ids.dtype)
 
     def one_window(j, start):
-        d = jax.lax.dynamic_slice(data_p, (start, 0), (max_eb, k))
+        # Literal 0 must match start's dtype: under x64 it would trace
+        # as int64 and lax.dynamic_slice rejects mixed index dtypes.
+        d = jax.lax.dynamic_slice(
+            data_p, (start, jnp.asarray(0, start.dtype)), (max_eb, k))
         ids = jax.lax.dynamic_slice(ids_p, (start,), (max_eb,))
         local = ids - j * window
         onehot = (local[:, None] == local_iota[None, :]).astype(data.dtype)

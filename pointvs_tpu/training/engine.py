@@ -122,7 +122,7 @@ class Trainer:
                  num_devices: Optional[int] = None, seed: int = 2,
                  wandb_dir=None, profile: bool = False,
                  graph_shard: int = 1, device_cache: str = 'auto',
-                 **model_kwargs):
+                 double: bool = False, **model_kwargs):
         assert not (use_1cycle and warm_restarts), \
             '1cycle and warm restarts are mutually exclusive'
         from pointvs_tpu.compile_cache import \
@@ -194,6 +194,19 @@ class Trainer:
         params = jax.jit(init_model.init)(
             {'params': init_rng, 'dropout': init_rng},
             _dummy_input(self.input_kind, dim_input))
+        self.double = double
+        if double:
+            # Real float64 training (--double, ref point_vs.py:46-51 ==
+            # torch.set_default_dtype(float64)): promote every float
+            # param; the f32 batch data then promotes per-op, so the
+            # whole compute path (and the optimiser state initialised
+            # below) runs in f64. CPU-only — main.py gates the backend.
+            if not jax.config.jax_enable_x64:
+                raise ValueError('double=True requires jax_enable_x64')
+            params = jax.tree.map(
+                lambda p: (p.astype(jnp.float64)
+                           if jnp.issubdtype(p.dtype, jnp.floating) else p),
+                params)
         self.tx = build_optimiser(optimiser, weight_decay)
         opt_state = self.tx.init(params)
         self.params = replicate(params, self.mesh)

@@ -4,11 +4,14 @@ reference-math EGNN (pointvs_tpu/testing/torch_ref.py, pinned to
 flax SartorrasEGNN must produce the same outputs.
 
 This pins the rebuild to the reference's *math* directly, not just to
-invariance/determinism properties. GraphNorm configs use single-graph
-batches: the reference computes GraphNorm statistics over the whole
-concatenated node batch (GraphNorm inside nn.Sequential gets batch=None),
-while the rebuild uses per-graph masked statistics — the two coincide
-exactly when the batch holds one graph (see torch_ref.py docstring).
+invariance/determinism properties. Default-mode GraphNorm configs use
+single-graph batches: the reference computes GraphNorm statistics over the
+whole concatenated node batch (GraphNorm inside nn.Sequential gets
+batch=None), while the rebuild defaults to per-graph masked statistics —
+the two coincide exactly when the batch holds one graph. The
+strict_graphnorm_* configs pin the reference-exact whole-batch mode
+(--strict_graphnorm / graphnorm_whole_batch=True) on MULTI-graph batches
+(VERDICT r3 missing #4).
 """
 import numpy as np
 import pytest
@@ -55,6 +58,17 @@ CONFIGS = [
     ('batched_no_graphnorm', dict(residual=True, normalize=True, tanh=True,
                                   graphnorm=False, edge_attention=True,
                                   softmax_attention=True), 4),
+    # Reference-exact whole-batch GraphNorm on multi-graph batches: the
+    # torch side's RefGraphNorm is ALWAYS whole-batch, so these pin the
+    # strict mode weight-for-weight where per-graph stats would diverge.
+    ('strict_graphnorm_batched',
+     dict(residual=True, normalize=True, tanh=True, graphnorm=True,
+          graphnorm_whole_batch=True, edge_attention=True,
+          softmax_attention=True), 4),
+    ('strict_graphnorm_node_att',
+     dict(residual=True, normalize=True, tanh=True, graphnorm=True,
+          graphnorm_whole_batch=True, edge_attention=True,
+          node_attention=True), 5),
 ]
 
 
@@ -76,6 +90,8 @@ def test_forward_parity(name, flags, n_graphs):
     flax_out = np.asarray(jax.jit(model.apply)(params, batch)).reshape(-1)
 
     torch_flags = {k: v for k, v in flags.items()}
+    # RefGraphNorm is unconditionally whole-batch (how the reference runs).
+    torch_flags.pop('graphnorm_whole_batch', None)
     net = RefEGNN(DIM_IN, K, 1, LAYERS, **torch_flags)
     load_flax_params(net, jax.tree.map(np.asarray, params))
     net.eval()
@@ -101,6 +117,9 @@ LUCID_CONFIGS = [
      dict(attention=True, thick_attention=True, thin_mlps=True,
           node_final_act=True), 4, 3),
     ('lucid_graphnorm_deep', dict(graphnorm=True), 1, 16),
+    # Whole-batch strict mode, multi-graph (VERDICT r3 missing #4).
+    ('lucid_strict_graphnorm',
+     dict(graphnorm=True, graphnorm_whole_batch=True), 4, 3),
 ]
 
 
