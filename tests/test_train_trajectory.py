@@ -1,0 +1,211 @@
+"""Full-trajectory torch-vs-JAX training A/B (VERDICT r3 missing #5).
+
+The per-component parity tests pin the forward (<=1e-5), optimiser,
+scheduler and losses individually; this test catches COMPOUNDING drift:
+train the torch reference math (testing/torch_ref.py, pinned to
+/root/reference/point_vs/models/geometric/*.py) and the flax model from
+identical weights on identical batches for 20 steps — Adam with coupled
+weight decay, gradient value-clip 1.0 (ref
+point_neural_network_base.py:417-429: backward -> clip_grad_value_ ->
+optimiser.step) and the cosine-warm-restarts scheduler live — and assert
+the per-step losses stay within 1e-4.
+
+Configs: egnn (with the reference-exact whole-batch GraphNorm so the
+multi-graph batches normalise identically on both sides), lucid, and
+multitask on the affinity (multi_regression) task with missing (-1)
+targets exercising the loss mask.
+"""
+import numpy as np
+import pytest
+import torch
+
+from pointvs_tpu.data.buckets import (GraphSample, pad_graphs_to_batch,
+                                      stack_device_batches)
+from pointvs_tpu.models import build_model
+from pointvs_tpu.testing.torch_ref import (
+    RefEGNN, RefLucidEGNN, RefMultitaskEGNN, load_flax_lucid_params,
+    load_flax_multitask_params, load_flax_params, samples_to_torch_batch)
+from pointvs_tpu.training.optimisers import build_optimiser, \
+    make_lr_schedule
+
+K, DIM_IN, LAYERS = 16, 12, 3
+N_GRAPHS, N_BATCHES, STEPS = 4, 4, 20
+LR, WD = 2e-3, 1e-4
+
+
+def _random_samples(n_graphs, rng, multi=False):
+    samples = []
+    for _ in range(n_graphs):
+        n = int(rng.randint(8, 20))
+        e = int(rng.randint(20, 60))
+        senders = np.sort(rng.randint(0, n, e)).astype(np.int32)
+        if multi:
+            # One missing (-1) target per graph with p=0.5.
+            y = rng.rand(3).astype(np.float32) * 6 + 2
+            if rng.rand() < 0.5:
+                y[rng.randint(0, 3)] = -1.0
+        else:
+            y = np.float32(rng.randint(0, 2))
+        samples.append(GraphSample(
+            node_feats=rng.rand(n, DIM_IN).astype(np.float32),
+            coords=(rng.rand(n, 3) * 8).astype(np.float32),
+            senders=senders,
+            receivers=rng.randint(0, n, e).astype(np.int32),
+            edge_attr=np.eye(3, dtype=np.float32)[rng.randint(0, 3, e)],
+            y=y))
+    return samples
+
+
+def _jax_trajectory(model, params, batches, task):
+    import jax
+    import jax.numpy as jnp
+    from pointvs_tpu.parallel.mesh import get_mesh, replicate, shard_batch
+    from pointvs_tpu.parallel.steps import make_train_step
+
+    mesh = get_mesh(1)
+    tx = build_optimiser('adam', WD)
+    step = make_train_step(model, tx, task, 'mse', mesh,
+                           multitask=(task == 'multi_regression'))
+    sched = make_lr_schedule(LR, steps_per_epoch=N_BATCHES,
+                             epochs=STEPS // N_BATCHES, warm_restarts=True)
+    p = replicate(jax.tree.map(np.array, params), mesh)
+    o = replicate(tx.init(params), mesh)
+    rng = jax.random.PRNGKey(0)
+    losses = []
+    for t in range(STEPS):
+        batch = shard_batch(stack_device_batches(
+            [batches[t % N_BATCHES]]), mesh)
+        p, o, loss = step(p, o, batch, jnp.float32(sched(t)), rng)
+        losses.append(float(np.asarray(loss).reshape(-1)[0]))
+    return losses, p
+
+
+def _torch_trajectory(net, batches_torch, task, multitask=False):
+    opt = torch.optim.Adam(net.parameters(), lr=LR, weight_decay=WD,
+                           betas=(0.9, 0.999), eps=1e-8)
+    sched = make_lr_schedule(LR, steps_per_epoch=N_BATCHES,
+                             epochs=STEPS // N_BATCHES, warm_restarts=True)
+    losses = []
+    net.train()
+    for t in range(STEPS):
+        for g in opt.param_groups:
+            g['lr'] = sched(t)
+        feats, coords, rows, cols, eattr, gid, y = batches_torch[
+            t % N_BATCHES]
+        kwargs = {'task': ('regression' if task == 'multi_regression'
+                           else 'classification')} if multitask else {}
+        out = net(feats.clone(), coords.clone(), rows, cols, eattr.clone(),
+                  gid, N_GRAPHS, **kwargs)
+        if task == 'classification':
+            loss = torch.nn.functional.binary_cross_entropy_with_logits(
+                out.reshape(-1), y.reshape(-1))
+        else:
+            # Reference multi_regression (point_neural_network_base.py:
+            # 362-370): predictions forced to target where target == -1
+            # (zero loss AND gradient), mean over B*3 then x3.
+            preds = out.reshape(-1, 3)
+            tgt = y.reshape(-1, 3)
+            preds = torch.where(tgt > -0.5, preds, tgt.detach())
+            loss = 3 * torch.nn.functional.mse_loss(preds, tgt)
+        opt.zero_grad()
+        loss.backward()
+        torch.nn.utils.clip_grad_value_(net.parameters(), 1.0)
+        opt.step()
+        losses.append(float(loss.detach()))
+    return losses
+
+
+def _compare(jax_losses, torch_losses, flax_p=None, net=None):
+    # atol 1e-4 for the ~0.7-scale BCE losses; rtol covers the ~60-scale
+    # multi-regression MSE (same 1e-4 precision, scale-aware).
+    np.testing.assert_allclose(jax_losses, torch_losses, atol=1e-4,
+                               rtol=1e-5,
+                               err_msg='per-step loss trajectories drifted')
+
+
+def test_egnn_trajectory_matches_torch():
+    import jax
+    rng = np.random.RandomState(11)
+    sample_sets = [_random_samples(N_GRAPHS, rng) for _ in range(N_BATCHES)]
+    flags = dict(residual=True, normalize=True, tanh=True, graphnorm=True,
+                 graphnorm_whole_batch=True, edge_attention=True,
+                 softmax_attention=True)
+    batches = [pad_graphs_to_batch(s, num_graphs=N_GRAPHS,
+                                   n_pad=sum(x.num_nodes for x in s) + 7,
+                                   e_pad=sum(x.num_edges for x in s) + 13)
+               for s in sample_sets]
+    model = build_model('egnn', dim_input=DIM_IN, k=K, dim_output=1,
+                        num_layers=LAYERS, scan_layers=False, **flags)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), batches[0])
+
+    torch_flags = dict(flags)
+    torch_flags.pop('graphnorm_whole_batch')
+    net = RefEGNN(DIM_IN, K, 1, LAYERS, **torch_flags)
+    load_flax_params(net, jax.tree.map(np.asarray, params))
+
+    jl, _ = _jax_trajectory(model, params, batches, 'classification')
+    tl = _torch_trajectory(net, [samples_to_torch_batch(s)
+                                 for s in sample_sets], 'classification')
+    # It actually trained: the same batch's loss fell across cycles.
+    assert jl[-N_BATCHES] < jl[0]
+    _compare(jl, tl)
+
+
+def test_lucid_trajectory_matches_torch():
+    import jax
+    rng = np.random.RandomState(12)
+    sample_sets = [_random_samples(N_GRAPHS, rng) for _ in range(N_BATCHES)]
+    batches = [pad_graphs_to_batch(s, num_graphs=N_GRAPHS,
+                                   n_pad=sum(x.num_nodes for x in s) + 9,
+                                   e_pad=sum(x.num_edges for x in s) + 17)
+               for s in sample_sets]
+    model = build_model('lucid', dim_input=DIM_IN, k=K, dim_output=1,
+                        num_layers=LAYERS, scan_layers=False,
+                        attention=True)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), batches[0])
+
+    net = RefLucidEGNN(DIM_IN, K, 1, LAYERS, soft_edge=True,
+                       norm_feats=True, norm_coors=True, tanh=True)
+    load_flax_lucid_params(net, jax.tree.map(np.asarray, params))
+
+    jl, _ = _jax_trajectory(model, params, batches, 'classification')
+    tl = _torch_trajectory(net, [samples_to_torch_batch(s)
+                                 for s in sample_sets], 'classification')
+    assert jl[-N_BATCHES] < jl[0]
+    _compare(jl, tl)
+
+
+def test_multitask_affinity_trajectory_matches_torch():
+    import jax
+    rng = np.random.RandomState(13)
+    sample_sets = [_random_samples(N_GRAPHS, rng, multi=True)
+                   for _ in range(N_BATCHES)]
+    flags = dict(residual=True, normalize=True, tanh=True, graphnorm=True,
+                 graphnorm_whole_batch=True, edge_attention=True,
+                 final_softplus=True)
+    batches = [pad_graphs_to_batch(s, num_graphs=N_GRAPHS,
+                                   n_pad=sum(x.num_nodes for x in s) + 7,
+                                   e_pad=sum(x.num_edges for x in s) + 13)
+               for s in sample_sets]
+    model = build_model('multitask', dim_input=DIM_IN, k=K, dim_output=3,
+                        num_layers=LAYERS, scan_layers=False, **flags)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), batches[0])
+
+    torch_flags = dict(flags)
+    torch_flags.pop('graphnorm_whole_batch')
+    net = RefMultitaskEGNN(DIM_IN, K, 3, LAYERS, **torch_flags)
+    load_flax_multitask_params(net, jax.tree.map(np.asarray, params))
+
+    torch_batches = []
+    for s in sample_sets:
+        feats, coords, rows, cols, eattr, gid, _ = samples_to_torch_batch(
+            [GraphSample(**{**x.__dict__, 'y': np.float32(0)})
+             for x in s])
+        y = torch.tensor(np.stack([x.y for x in s]))
+        torch_batches.append((feats, coords, rows, cols, eattr, gid, y))
+
+    jl, _ = _jax_trajectory(model, params, batches, 'multi_regression')
+    tl = _torch_trajectory(net, torch_batches, 'multi_regression',
+                           multitask=True)
+    assert jl[-N_BATCHES] < jl[0]
+    _compare(jl, tl)
