@@ -130,6 +130,15 @@ class PointCloudDataset:
         self.extended_atom_types = extended_atom_types
         self.augmented_active_min_angle = augmented_active_min_angle
         self.rng = np.random.RandomState(seed)
+        self.seed = seed
+        # Epoch counter for the DETERMINISTIC augmented-active rotations:
+        # each aug item's ligand rotation derives from (seed, epoch, item)
+        # instead of the shared rng stream, so the graph an aug item
+        # yields depends only on those three values — the streaming path
+        # and the hybrid device-resident store (which featurises aug
+        # items at epoch start, in a different order) draw IDENTICAL
+        # graphs. The train loader bumps this via set_epoch each epoch.
+        self._aug_epoch = 0
         self.cache_dir = Path(cache_dir) if cache_dir else None
         if self.cache_dir:
             self.cache_dir.mkdir(parents=True, exist_ok=True)
@@ -252,6 +261,16 @@ class PointCloudDataset:
     def __len__(self):
         return len(self.ligand_fnames)
 
+    def set_epoch(self, epoch: int) -> None:
+        """Advance the augmented-active rotation stream (see __init__)."""
+        self._aug_epoch = int(epoch)
+
+    def _aug_rng(self, item: int) -> np.random.RandomState:
+        """Per-(seed, epoch, item) rng for augmented-active rotations."""
+        ss = np.random.SeedSequence(
+            [int(self.seed) & 0x7fffffff, self._aug_epoch, int(item)])
+        return np.random.RandomState(int(ss.generate_state(1)[0]))
+
     def _label_for(self, item: int):
         if self.model_task == 'classification':
             label = int(self.labels[item]) if len(self.labels) else 0
@@ -306,9 +325,11 @@ class PointCloudDataset:
         digest = hashlib.sha1(repr(params).encode()).hexdigest()[:24]
         return self.cache_dir / f'{digest}.bin'
 
-    def _build_struct(self, lig_fname, rec_fname, aug_angle: float):
+    def _build_struct(self, lig_fname, rec_fname, aug_angle: float,
+                      rng=None):
         """parquets -> concatenated, boxed, element-filtered struct dict."""
         from pointvs_tpu.data import fast_structs as fs
+        rng = rng if rng is not None else self.rng
         if str(lig_fname).rsplit('.', 1)[-1] != 'parquet' \
                 or str(rec_fname).rsplit('.', 1)[-1] != 'parquet':
             # Non-parquet inputs go through the reference-semantics
@@ -317,7 +338,7 @@ class PointCloudDataset:
                 concat_structs(rec_fname, lig_fname, self.n_features,
                                min_lig_rotation=aug_angle,
                                extended=self.extended_atom_types,
-                               rng=self.rng),
+                               rng=rng),
                 radius=self.radius, relative_to_ligand=True)
             struct = {k: struct[k].to_numpy() for k in fs.KEYS}
         else:
@@ -328,8 +349,7 @@ class PointCloudDataset:
             # small_chembl.
             lig_struct = fs.read_struct(str(lig_fname))
             if aug_angle:
-                lig_struct = fs.rotate_struct(lig_struct, aug_angle,
-                                              self.rng)
+                lig_struct = fs.rotate_struct(lig_struct, aug_angle, rng)
             struct = fs.box_np(
                 fs.concat_structs_np(
                     fs.read_struct(str(rec_fname)), lig_struct,
@@ -344,13 +364,15 @@ class PointCloudDataset:
                                + struct['bp'] * self.n_features)
         return struct
 
-    def _build_graph(self, lig_fname, rec_fname, aug_angle: float):
+    def _build_graph(self, lig_fname, rec_fname, aug_angle: float,
+                     rng=None):
         """(struct, rows, cols, attrs, rperm) for one complex — the
         boxed-pocket + radius-edges pipeline. Subclasses can override
         (data/shared_receptor.py reuses receptor work across a whole
         screening library)."""
         from pointvs_tpu.data.fast_structs import subset
-        struct = self._build_struct(lig_fname, rec_fname, aug_angle)
+        struct = self._build_struct(lig_fname, rec_fname, aug_angle,
+                                    rng=rng)
         if self.bp is not None:
             struct = subset(struct, struct['bp'] == self.bp)
         return self._edges_for(struct)
@@ -393,7 +415,7 @@ class PointCloudDataset:
                 np.zeros((0, 3), np.float32), np.zeros(0, np.int32))
 
     def _load_boxed_graph(self, lig_fname, rec_fname, aug_angle: float,
-                          mem_key=None):
+                          mem_key=None, rng=None):
         """Boxed struct dict + edges, through the caches if present."""
         from pointvs_tpu.data.fast_structs import KEYS, subset
         if self._mem_cache is None or aug_angle:
@@ -416,7 +438,7 @@ class PointCloudDataset:
                 return item
 
         struct, rows, cols, attrs, rperm = self._build_graph(
-            lig_fname, rec_fname, aug_angle)
+            lig_fname, rec_fname, aug_angle, rng=rng)
 
         if cache_path is not None:
             from pointvs_tpu.data.blob import save_blob
@@ -473,7 +495,8 @@ class PointCloudDataset:
         aug_angle = self.augmented_active_min_angle if is_augmented else 0
 
         struct, rows, cols, attrs, rperm = self._load_boxed_graph(
-            lig_fname, rec_fname, aug_angle, mem_key=(lig_str, rec_str))
+            lig_fname, rec_fname, aug_angle, mem_key=(lig_str, rec_str),
+            rng=self._aug_rng(item) if is_augmented else None)
 
         # Entity dropout: drop receptor or ligand, force label 0 (ref
         # :293-300). Requires regenerating edges on the remaining entity.

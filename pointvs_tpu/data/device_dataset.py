@@ -22,10 +22,21 @@ Collation parity is exact: for ``rot=False`` the device-built batch is
 bit-identical to ``pad_graphs_to_batch`` (tests/test_device_dataset.py).
 
 Eligibility (``store_eligibility``): graph layout, single process, no
-augmented actives (they re-rotate the raw ligand *before* boxing, so
-their graphs genuinely change every epoch), no label noise / entity
-dropout (per-epoch host randomness), and the store must fit the HBM
-budget. Everything else falls back to the streaming wire path.
+label noise / entity dropout (per-epoch host randomness), and the store
+must fit the HBM budget. Everything else falls back to the streaming
+wire path.
+
+HYBRID MODE (augmented actives): aug items re-rotate the raw ligand
+*before* boxing (ref data_loaders.py:144-157), so their graphs genuinely
+change every epoch and cannot be resident as-is. Instead the store
+reserves a CAPACITY-padded tail region for them (per-item node/edge
+capacity probed over a few rotations at build time), and at each train
+epoch start the loader triggers ``DeviceGraphStore.refresh``: the host
+re-featurises only the aug items (rotations are keyed by
+(seed, epoch, item) — identical to what the streaming path would draw)
+and ONE donated jitted ``dynamic_update_slice`` refreshes the tail in
+HBM. ``node_len``/``edge_len`` carry actual sizes; the offset arrays
+stay fixed, so the compiled step programs are reused across epochs.
 
 Reference anchor: this subsystem replaces the reference's host-side
 torch DataLoader + pyg collation hot loop (ref
@@ -57,15 +68,22 @@ class DeviceCollateSpec(NamedTuple):
 class DeviceStoreArrays(NamedTuple):
     """The replicated device pytree. Edge indices are ITEM-LOCAL (the
     collate adds batch offsets); dtypes are the smallest lossless ones
-    so the one-time upload stays cheap on slow H2D paths."""
+    so the one-time upload stays cheap on slow H2D paths.
+
+    ``node_start``/``edge_start`` demarcate each item's STORAGE slot
+    (capacity; equals size for non-augmented items); ``node_len``/
+    ``edge_len`` carry the actual sizes, which the hybrid refresh
+    rewrites per epoch while the slots stay fixed."""
     feats: np.ndarray       # [N_tot, F] uint8 (0/1 bits) or float32
     coords: np.ndarray      # [N_tot, 3] float32
     senders: np.ndarray     # [E_tot] uint16/int32, item-local node ids
     receivers: np.ndarray   # [E_tot] uint16/int32
     rperm: np.ndarray       # [E_tot] uint16/int32, item-local edge ranks
     eclass: np.ndarray      # [E_tot] uint8 edge class (0-2)
-    node_start: np.ndarray  # [n_items+1] int32
-    edge_start: np.ndarray  # [n_items+1] int32
+    node_start: np.ndarray  # [n_items+1] int32 (slot offsets)
+    edge_start: np.ndarray  # [n_items+1] int32 (slot offsets)
+    node_len: np.ndarray    # [n_items] int32 (actual, <= slot size)
+    edge_len: np.ndarray    # [n_items] int32
     y: np.ndarray           # [n_items] or [n_items, 3] float32
     strain: np.ndarray      # [n_items, 2] float32
 
@@ -83,6 +101,14 @@ class HostStore(NamedTuple):
     symmetric: bool
     rot: bool                     # the dataset wanted per-epoch rotation
     nbytes: int                   # upload size estimate
+    aug_from: int                 # first augmented item (== n_items: none)
+    aug_epoch: List[int]          # [epoch the aug tail holds] (mutable box)
+    aug_spills: List[int]         # [cumulative slot-overflow count]
+
+
+def hybrid_enabled() -> bool:
+    import os
+    return os.environ.get('POINTVS_DD_HYBRID', '1') != '0'
 
 
 def store_eligibility(dataset) -> Optional[str]:
@@ -93,8 +119,16 @@ def store_eligibility(dataset) -> Optional[str]:
         return 'p_noise flips labels every epoch'
     pre_aug = getattr(dataset, 'pre_aug_ds_len', len(dataset))
     if pre_aug != len(dataset):
-        return ('augmented actives re-rotate the raw ligand before '
-                'boxing, so their graphs change every epoch')
+        # Hybrid mode keeps aug items in a capacity-padded tail region
+        # refreshed each epoch; it needs the dataset's deterministic
+        # per-(seed, epoch, item) aug rotations (dataset.set_epoch).
+        if not hybrid_enabled():
+            return ('augmented actives re-rotate the raw ligand before '
+                    'boxing and POINTVS_DD_HYBRID=0 disables the hybrid '
+                    'refresh path')
+        if not hasattr(dataset, 'set_epoch'):
+            return ('augmented actives need the dataset to support '
+                    'deterministic per-epoch rotations (set_epoch)')
     return None
 
 
@@ -102,12 +136,93 @@ def _idx_dtype(max_value: int):
     return np.uint16 if max_value < 65536 else np.int32
 
 
+# Hybrid-tail capacity: per-aug-item slot size = slack x the max size
+# observed over (1 + POINTVS_DD_AUG_PROBES) independent rotations at
+# build time. Aug rotations follow the reference exactly — the ligand
+# rotates about the ORIGIN (ref preprocessing.py:52-53 reduces to
+# x @ M), so the ligand-relative box can sweep very different receptor
+# regions and graph sizes vary a lot; the probes + slack bound the
+# distribution empirically. An epoch draw that still overflows its slot
+# SPILLS: the item keeps its previous epoch's graph (a stale but valid
+# rotated decoy) and the refresh logs the count — never a crash, never
+# a truncated graph.
+_AUG_NODE_SLACK = 1.6
+_AUG_EDGE_SLACK = 1.8
+
+
+def _write_item(arrays, sorted_recv, i, s, check_symmetric: bool):
+    """Write one GraphSample into its slot; returns item symmetry."""
+    n_lo = int(arrays.node_start[i])
+    e_lo = int(arrays.edge_start[i])
+    n_i, e_i = s.num_nodes, s.num_edges
+    if (n_lo + n_i > int(arrays.node_start[i + 1])
+            or e_lo + e_i > int(arrays.edge_start[i + 1])):
+        raise RuntimeError(
+            f'augmented item {i} outgrew its store slot '
+            f'({n_i} nodes / {e_i} edges vs capacity '
+            f'{int(arrays.node_start[i + 1]) - n_lo} / '
+            f'{int(arrays.edge_start[i + 1]) - e_lo}); raise '
+            f'POINTVS_DD_AUG_PROBES / rerun, or set POINTVS_DD_HYBRID=0')
+    f = np.asarray(s.node_feats, np.float32)
+    if arrays.feats.dtype == np.uint8:
+        if not np.all((f == 0) | (f == 1)):
+            raise RuntimeError('non-binary features in a uint8 store')
+        arrays.feats[n_lo:n_lo + n_i] = f.astype(np.uint8)
+    else:
+        arrays.feats[n_lo:n_lo + n_i] = f
+    arrays.coords[n_lo:n_lo + n_i] = np.asarray(s.coords, np.float32)
+    arrays.node_len[i] = n_i
+    arrays.edge_len[i] = e_i
+    symmetric = True
+    if e_i:
+        sl = np.asarray(s.senders)
+        rl = np.asarray(s.receivers)
+        rp = (np.asarray(s.recv_perm) if s.recv_perm is not None
+              else np.argsort(rl, kind='stable'))
+        arrays.senders[e_lo:e_lo + e_i] = sl
+        arrays.receivers[e_lo:e_lo + e_i] = rl
+        arrays.rperm[e_lo:e_lo + e_i] = rp
+        arrays.eclass[e_lo:e_lo + e_i] = np.argmax(s.edge_attr, axis=-1)
+        sr = rl[rp]
+        sorted_recv[e_lo:e_lo + e_i] = sr
+        if check_symmetric:
+            # Mirror-involution check (the batch-level fact wire v3
+            # verifies per batch, provable per item here): senders[rp] ==
+            # receivers AND receivers[rp] == senders makes the batch
+            # recv_perm its own inverse (gather-pair fast path).
+            symmetric = (np.array_equal(sl[rp], rl)
+                         and np.array_equal(sr, sl))
+        # Collator precondition: per-item edges sender-sorted.
+        if len(sl) > 1 and not np.all(sl[1:] >= sl[:-1]):
+            raise ValueError(
+                f'item {i} edges not sender-sorted; device collation '
+                f'requires the lex-sorted blob format')
+    return symmetric
+
+
+def _norot_getitem(dataset, i):
+    """dataset[i] with the whole-complex rotation disabled (the store
+    keeps the deterministic frame; rotation re-applies on device)."""
+    had_rot = bool(getattr(dataset, 'rot', False))
+    if had_rot:
+        dataset.rot = False
+    try:
+        return dataset[i]
+    finally:
+        if had_rot:
+            dataset.rot = True
+
+
 def build_host_store(dataset) -> HostStore:
     """One featurisation pass over ``dataset`` -> concatenated arrays.
 
     Runs with the dataset's per-epoch rotation DISABLED so the stored
     coordinates are the deterministic boxed-pocket frame; the rotation
-    (if requested) is re-applied on device each step."""
+    (if requested) is re-applied on device each step. Augmented actives
+    (hybrid mode) get capacity-padded slots sized by probing extra
+    rotations; their contents are refreshed per epoch
+    (``refresh_augmented``)."""
+    import os
     reason = store_eligibility(dataset)
     if reason is not None:
         raise ValueError(f'dataset not device-residable: {reason}')
@@ -120,71 +235,60 @@ def build_host_store(dataset) -> HostStore:
         # not gain a rotation the host path never performed.
         from pointvs_tpu.data.dataset import PointCloudDataset
         rot = type(dataset).__getitem__ is PointCloudDataset.__getitem__
-    if had_rot:
-        dataset.rot = False
-    t0 = time.perf_counter()
-    try:
-        samples = [dataset[i] for i in range(len(dataset))]
-    finally:
-        if had_rot:
-            dataset.rot = True
-    if not samples:
+    n_items = len(dataset)
+    if not n_items:
         raise ValueError('empty dataset')
+    aug_from = getattr(dataset, 'pre_aug_ds_len', n_items)
+    aug_epoch = int(getattr(dataset, '_aug_epoch', 0))
 
-    n_items = len(samples)
+    t0 = time.perf_counter()
+    samples = [_norot_getitem(dataset, i) for i in range(n_items)]
+
     num_nodes = np.array([s.num_nodes for s in samples], np.int64)
     num_edges = np.array([s.num_edges for s in samples], np.int64)
+    node_slot = num_nodes.copy()
+    edge_slot = num_edges.copy()
+    if aug_from < n_items:
+        # Probe extra rotations for capacity (distinct epochs far above
+        # any real training epoch so the training rotation stream is
+        # untouched), then restore the build epoch.
+        probes = int(os.environ.get('POINTVS_DD_AUG_PROBES', '4'))
+        try:
+            for j in range(probes):
+                dataset.set_epoch((1 << 30) + j)
+                for i in range(aug_from, n_items):
+                    s = _norot_getitem(dataset, i)
+                    node_slot[i] = max(node_slot[i], s.num_nodes)
+                    edge_slot[i] = max(edge_slot[i], s.num_edges)
+        finally:
+            dataset.set_epoch(aug_epoch)
+        node_slot[aug_from:] = np.ceil(
+            node_slot[aug_from:] * _AUG_NODE_SLACK).astype(np.int64)
+        edge_slot[aug_from:] = np.ceil(
+            edge_slot[aug_from:] * _AUG_EDGE_SLACK).astype(np.int64)
+
     node_start = np.zeros(n_items + 1, np.int32)
     edge_start = np.zeros(n_items + 1, np.int32)
-    np.cumsum(num_nodes, out=node_start[1:])
-    np.cumsum(num_edges, out=edge_start[1:])
+    np.cumsum(node_slot, out=node_start[1:])
+    np.cumsum(edge_slot, out=edge_start[1:])
     n_tot, e_tot = int(node_start[-1]), int(edge_start[-1])
 
     feat_dim = samples[0].node_feats.shape[1]
-    feats_f32 = np.concatenate([s.node_feats for s in samples]
-                               ).astype(np.float32)
-    # 0/1 feature matrices (the bit-vector featurisation) upload as
+    binary = all(
+        np.all((np.asarray(s.node_feats) == 0)
+               | (np.asarray(s.node_feats) == 1)) for s in samples)
+    # 0/1 feature matrices (the bit-vector featurisation) store as
     # uint8 — 4x fewer one-time H2D bytes; anything else stays float32.
-    if feats_f32.size and np.all((feats_f32 == 0) | (feats_f32 == 1)):
-        feats = feats_f32.astype(np.uint8)
-    else:
-        feats = feats_f32
-    coords = np.concatenate([s.coords for s in samples]).astype(np.float32)
-
-    idx_t = _idx_dtype(int(num_nodes.max(initial=1)))
-    ridx_t = _idx_dtype(int(num_edges.max(initial=1)))
-    senders = np.empty(e_tot, idx_t)
-    receivers = np.empty(e_tot, idx_t)
-    rperm = np.empty(e_tot, ridx_t)
-    eclass = np.empty(e_tot, np.uint8)
-    sorted_recv = np.empty(e_tot, idx_t)
-    symmetric = True
-    for i, s in enumerate(samples):
-        lo, hi = edge_start[i], edge_start[i + 1]
-        if hi == lo:
-            continue
-        sl = np.asarray(s.senders)
-        rl = np.asarray(s.receivers)
-        rp = (np.asarray(s.recv_perm) if s.recv_perm is not None
-              else np.argsort(rl, kind='stable'))
-        senders[lo:hi] = sl
-        receivers[lo:hi] = rl
-        rperm[lo:hi] = rp
-        eclass[lo:hi] = np.argmax(s.edge_attr, axis=-1)
-        sr = rl[rp]
-        sorted_recv[lo:hi] = sr
-        # Mirror-involution check (the batch-level fact wire v3 verifies
-        # per batch, provable per item here): senders[rp] == receivers
-        # AND receivers[rp] == senders makes the batch recv_perm its own
-        # inverse, enabling the single-scatter gather-pair fast path.
-        if symmetric and not (np.array_equal(sl[rp], rl)
-                              and np.array_equal(sr, sl)):
-            symmetric = False
-        # Collator precondition: per-item edges sender-sorted.
-        if len(sl) > 1 and not np.all(sl[1:] >= sl[:-1]):
-            raise ValueError(
-                f'item {i} edges not sender-sorted; device collation '
-                f'requires the lex-sorted blob format')
+    feats = np.zeros((n_tot, feat_dim),
+                     np.uint8 if binary else np.float32)
+    coords = np.zeros((n_tot, 3), np.float32)
+    idx_t = _idx_dtype(int(node_slot.max(initial=1)))
+    ridx_t = _idx_dtype(int(edge_slot.max(initial=1)))
+    senders = np.zeros(e_tot, idx_t)
+    receivers = np.zeros(e_tot, idx_t)
+    rperm = np.zeros(e_tot, ridx_t)
+    eclass = np.full(e_tot, 3, np.uint8)
+    sorted_recv = np.zeros(e_tot, idx_t)
 
     y0 = np.asarray(samples[0].y, np.float32)
     y = np.stack([np.asarray(s.y, np.float32) for s in samples]) \
@@ -195,9 +299,17 @@ def build_host_store(dataset) -> HostStore:
     arrays = DeviceStoreArrays(
         feats=feats, coords=coords, senders=senders, receivers=receivers,
         rperm=rperm, eclass=eclass, node_start=node_start,
-        edge_start=edge_start, y=y, strain=strain)
+        edge_start=edge_start,
+        node_len=np.zeros(n_items, np.int32),
+        edge_len=np.zeros(n_items, np.int32), y=y, strain=strain)
+    symmetric = True
+    for i, s in enumerate(samples):
+        symmetric &= _write_item(arrays, sorted_recv, i, s,
+                                 check_symmetric=symmetric)
+
     nbytes = sum(a.nbytes for a in arrays)
-    LOG.info(f'Device-dataset store: {n_items} items, {n_tot} nodes, '
+    LOG.info(f'Device-dataset store: {n_items} items '
+             f'({max(0, n_items - aug_from)} augmented), {n_tot} nodes, '
              f'{e_tot} edges, {nbytes / 1e6:.1f} MB, '
              f'symmetric={symmetric}, built in '
              f'{time.perf_counter() - t0:.1f}s')
@@ -206,7 +318,71 @@ def build_host_store(dataset) -> HostStore:
         sorted_recv=sorted_recv,
         lig_fnames=[s.lig_fname for s in samples],
         rec_fnames=[s.rec_fname for s in samples],
-        symmetric=symmetric, rot=rot, nbytes=nbytes)
+        symmetric=symmetric, rot=rot, nbytes=nbytes,
+        aug_from=min(aug_from, n_items), aug_epoch=[aug_epoch],
+        aug_spills=[0])
+
+
+def refresh_augmented(host: HostStore, dataset, epoch: int):
+    """Re-featurise the augmented tail for ``epoch`` IN PLACE (host
+    arrays) and return the tail slices for the device update, or None
+    when there is nothing to do. Rotations derive from
+    (seed, epoch, item) inside the dataset, so the graphs equal what the
+    streaming path would draw for the same epoch."""
+    n_items = len(host.num_nodes)
+    if host.aug_from >= n_items or host.aug_epoch[0] == int(epoch):
+        return None
+    if len(dataset) != n_items:
+        raise ValueError('store was built from a different dataset')
+    t0 = time.perf_counter()
+    dataset.set_epoch(int(epoch))
+    arrays = host.arrays
+    spills = 0
+    for i in range(host.aug_from, n_items):
+        s = _norot_getitem(dataset, i)
+        if (s.num_nodes > int(arrays.node_start[i + 1]
+                              - arrays.node_start[i])
+                or s.num_edges > int(arrays.edge_start[i + 1]
+                                     - arrays.edge_start[i])):
+            # Spill: this epoch's rotation outgrew the slot — keep the
+            # previous epoch's graph (stale but valid rotated decoy).
+            spills += 1
+            continue
+        ok = _write_item(arrays, host.sorted_recv, i, s,
+                         check_symmetric=host.symmetric)
+        if host.symmetric and not ok:
+            # spec.symmetric is a trace-key fact baked into the compiled
+            # step; a flip would silently corrupt the involution fast
+            # path, so fail loudly (never observed for radius-graph
+            # generators — edges are bidirectional by construction).
+            raise RuntimeError(
+                f'augmented item {i} lost edge symmetry at epoch '
+                f'{epoch}; set POINTVS_DD_HYBRID=0')
+        host.num_nodes[i] = s.num_nodes
+        host.num_edges[i] = s.num_edges
+    host.aug_epoch[0] = int(epoch)
+    host.aug_spills[0] += spills
+    if spills:
+        LOG.warning(
+            f'Hybrid store: {spills}/{n_items - host.aug_from} augmented '
+            f'items outgrew their slots at epoch {epoch} and kept their '
+            f'previous graphs (raise POINTVS_DD_AUG_PROBES at build to '
+            f'shrink this)')
+    n_lo = int(arrays.node_start[host.aug_from])
+    e_lo = int(arrays.edge_start[host.aug_from])
+    a_lo = host.aug_from
+    tail = {
+        'feats': arrays.feats[n_lo:], 'coords': arrays.coords[n_lo:],
+        'senders': arrays.senders[e_lo:],
+        'receivers': arrays.receivers[e_lo:],
+        'rperm': arrays.rperm[e_lo:], 'eclass': arrays.eclass[e_lo:],
+        'node_len': arrays.node_len[a_lo:],
+        'edge_len': arrays.edge_len[a_lo:],
+    }
+    LOG.info(f'Hybrid store refresh: {n_items - a_lo} augmented items '
+             f're-featurised for epoch {epoch} in '
+             f'{time.perf_counter() - t0:.2f}s')
+    return tail
 
 
 class DeviceGraphStore:
@@ -215,7 +391,41 @@ class DeviceGraphStore:
     def __init__(self, host: HostStore, mesh):
         from pointvs_tpu.parallel.mesh import replicate
         self.host = host
+        self.mesh = mesh
         self.arrays = replicate(host.arrays, mesh)
+        self._updater = None
+
+    def refresh(self, dataset, epoch: int) -> None:
+        """Hybrid mode: re-featurise the augmented tail for ``epoch`` and
+        patch it into HBM with one donated dynamic_update_slice program
+        (offsets are static — the slot layout never changes — so the one
+        compiled updater serves every epoch)."""
+        tail = refresh_augmented(self.host, dataset, epoch)
+        if tail is None:
+            return
+        import jax
+        from pointvs_tpu.parallel.mesh import replicate
+        if self._updater is None:
+            arrays = self.host.arrays
+            n_lo = int(arrays.node_start[self.host.aug_from])
+            e_lo = int(arrays.edge_start[self.host.aug_from])
+            a_lo = int(self.host.aug_from)
+
+            def upd(dev, t):
+                dus = jax.lax.dynamic_update_slice
+                return dev._replace(
+                    feats=dus(dev.feats, t['feats'], (n_lo, 0)),
+                    coords=dus(dev.coords, t['coords'], (n_lo, 0)),
+                    senders=dus(dev.senders, t['senders'], (e_lo,)),
+                    receivers=dus(dev.receivers, t['receivers'], (e_lo,)),
+                    rperm=dus(dev.rperm, t['rperm'], (e_lo,)),
+                    eclass=dus(dev.eclass, t['eclass'], (e_lo,)),
+                    node_len=dus(dev.node_len, t['node_len'], (a_lo,)),
+                    edge_len=dus(dev.edge_len, t['edge_len'], (a_lo,)))
+
+            self._updater = jax.jit(upd, donate_argnums=0)
+        self.arrays = self._updater(self.arrays,
+                                    replicate(dict(tail), self.mesh))
 
     def __repr__(self):
         return (f'DeviceGraphStore({len(self.host.num_nodes)} items, '
@@ -238,7 +448,8 @@ def batch_row_cap(host: HostStore, ids_row: np.ndarray, n_pad: int,
         if i < 0:
             continue
         n_i = int(host.num_nodes[i])
-        lo, hi = int(es[i]), int(es[i + 1])
+        lo = int(es[i])
+        hi = lo + int(arr.edge_len[i])   # actual edges, not slot size
         if hi > lo:
             lo_w = off // WINDOW
             hi_w = min((off + n_i - 1) // WINDOW, nw - 1)
@@ -281,8 +492,10 @@ def collate_from_ids(store: DeviceStoreArrays, ids,
     vi = valid.astype(jnp.int32)
     node_start = store.node_start
     edge_start = store.edge_start
-    nlen = (node_start[idc + 1] - node_start[idc]) * vi       # [B]
-    elen = (edge_start[idc + 1] - edge_start[idc]) * vi
+    # Actual sizes, not slot sizes: hybrid aug slots carry capacity
+    # padding between node_start[i]+node_len[i] and node_start[i+1].
+    nlen = store.node_len[idc].astype(jnp.int32) * vi         # [B]
+    elen = store.edge_len[idc].astype(jnp.int32) * vi
     nb = jnp.cumsum(nlen)
     eb = jnp.cumsum(elen)
     total_n = nb[-1]
@@ -376,3 +589,204 @@ def rotate_per_graph(batch: GraphBatch, key, ids,
     coords = jnp.einsum('ni,nij->nj', batch.coords, mg,
                         precision=jax.lax.Precision.HIGHEST)
     return batch._replace(coords=coords)
+
+
+# --------------------------------------------------------------------- #
+# Chunked store codec: stream library shards into HBM while scoring.
+#
+# For libraries that outgrow the HBM budget (or to bound upload bursts),
+# the host packs item ranges of a HostStore into compact fixed-shape
+# buffers — bit-packed features, symmetric-HALF edge lists — and a
+# single jitted ``expand_chunk`` program rebuilds full DeviceStoreArrays
+# in HBM per chunk (~2.3x fewer wire bytes than raw store arrays; the
+# reconstruction reuses the wire-v3 proof: mirrors-first concatenation +
+# one stable argsort reproduces the per-item lex order exactly, pinned
+# bit-exact by tests/test_device_dataset.py).
+
+class StoreChunkSpec(NamedTuple):
+    """Static shapes shared by every chunk (one compiled expand/eval)."""
+    items: int          # item slots per chunk
+    n_fix: int          # node rows (multiple of 8 for the bit unpack)
+    eh_fix: int         # half-edge slots (multiple of 4 for 2-bit class)
+    feat_dim: int
+    half: bool          # symmetric-half edges (False: full lists)
+
+
+def plan_chunks(host: HostStore, budget_bytes: float):
+    """(ranges, spec): contiguous item ranges whose EXPANDED store bytes
+    fit ``budget_bytes``, plus the fixed chunk shapes."""
+    if host.aug_from < len(host.num_nodes):
+        raise ValueError('chunked stores do not support augmented tails')
+    ns, es = host.arrays.node_start, host.arrays.edge_start
+    feat_dim = host.arrays.feats.shape[1]
+    per_node = feat_dim + 12
+    per_edge = (host.arrays.senders.itemsize * 2
+                + host.arrays.rperm.itemsize + 1)
+    n_items = len(host.num_nodes)
+    ranges = []
+    lo = 0
+    while lo < n_items:
+        hi = lo + 1
+        while hi < n_items:
+            nb = ((int(ns[hi + 1] - ns[lo])) * per_node
+                  + (int(es[hi + 1] - es[lo])) * per_edge)
+            if nb > budget_bytes:
+                break
+            hi += 1
+        ranges.append((lo, hi))
+        lo = hi
+    items = max(hi - lo for lo, hi in ranges)
+    n_fix = max(int(ns[hi] - ns[lo]) for lo, hi in ranges)
+    e_fix = max(int(es[hi] - es[lo]) for lo, hi in ranges)
+    n_fix = -(-n_fix // 8) * 8
+    eh_fix = -(-(e_fix // 2) // 4) * 4 if host.symmetric else e_fix
+    return ranges, StoreChunkSpec(items=items, n_fix=n_fix, eh_fix=eh_fix,
+                                  feat_dim=feat_dim, half=host.symmetric)
+
+
+def pack_chunk(host: HostStore, lo: int, hi: int, spec: StoreChunkSpec):
+    """Item range [lo, hi) -> dict of padded compact numpy buffers."""
+    a = host.arrays
+    n_lo, n_hi = int(a.node_start[lo]), int(a.node_start[hi])
+    e_lo, e_hi = int(a.edge_start[lo]), int(a.edge_start[hi])
+    n, e, c = n_hi - n_lo, e_hi - e_lo, hi - lo
+
+    feats = np.zeros((spec.n_fix, spec.feat_dim), np.uint8)
+    feats[:n] = a.feats[n_lo:n_hi]
+    # Bit-pack along the node axis (n_fix % 8 == 0), as wire v1 does.
+    feat_bits = np.packbits(feats.T, axis=-1, bitorder='little')
+    coords = np.zeros((spec.n_fix, 3), np.float32)
+    coords[:n] = a.coords[n_lo:n_hi]
+
+    node_start = np.zeros(spec.items + 1, np.int32)
+    node_start[:c + 1] = a.node_start[lo:hi + 1] - n_lo
+    node_start[c + 1:] = node_start[c]
+    edge_start = np.zeros(spec.items + 1, np.int32)
+    edge_start[:c + 1] = a.edge_start[lo:hi + 1] - e_lo
+    edge_start[c + 1:] = edge_start[c]
+    node_len = np.zeros(spec.items, np.int32)
+    node_len[:c] = a.node_len[lo:hi]
+    edge_len = np.zeros(spec.items, np.int32)
+    edge_len[:c] = a.edge_len[lo:hi]
+
+    y = np.zeros((spec.items,) + a.y.shape[1:], np.float32)
+    y[:c] = a.y[lo:hi]
+    strain = np.zeros((spec.items, 2), np.float32)
+    strain[:c] = a.strain[lo:hi]
+
+    s = a.senders[e_lo:e_hi].astype(np.int32)
+    r = a.receivers[e_lo:e_hi].astype(np.int32)
+    ec = a.eclass[e_lo:e_hi]
+    if spec.half:
+        keep = s < r                 # per-item lex order is preserved
+        hs, hr, hc = s[keep], r[keep], ec[keep]
+        half_senders = np.full(spec.eh_fix, np.uint16(0xffff), np.uint16)
+        half_receivers = np.full(spec.eh_fix, np.uint16(0xffff), np.uint16)
+        half_class = np.full(spec.eh_fix, 3, np.uint8)
+        half_senders[:len(hs)] = hs.astype(np.uint16)
+        half_receivers[:len(hr)] = hr.astype(np.uint16)
+        half_class[:len(hc)] = hc
+        e4 = half_class.reshape(-1, 4)
+        class_bits = (e4[:, 0] | (e4[:, 1] << 2) | (e4[:, 2] << 4)
+                      | (e4[:, 3] << 6)).astype(np.uint8)
+        edges = {'half_senders': half_senders,
+                 'half_receivers': half_receivers,
+                 'half_class_bits': class_bits}
+    else:
+        fs = np.zeros(spec.eh_fix, np.uint16)
+        fr = np.zeros(spec.eh_fix, np.uint16)
+        fc = np.full(spec.eh_fix, 3, np.uint8)
+        fs[:e] = s.astype(np.uint16)
+        fr[:e] = r.astype(np.uint16)
+        fc[:e] = ec
+        edges = {'full_senders': fs, 'full_receivers': fr,
+                 'full_class': fc}
+    return {
+        'feat_bits': feat_bits, 'coords': coords,
+        'node_start': node_start, 'edge_start': edge_start,
+        'node_len': node_len, 'edge_len': edge_len,
+        'y': y, 'strain': strain,
+        'n_real': np.int32(n), 'e_real': np.int32(e), **edges,
+    }
+
+
+def expand_chunk(packed: dict, spec: StoreChunkSpec) -> DeviceStoreArrays:
+    """Device-side (jit-traceable): packed chunk -> DeviceStoreArrays.
+
+    Half-edge reconstruction (spec.half): rebase the half list to
+    chunk-global node ids (disjoint, increasing per item), mirrors-first
+    concatenation + one stable argsort by global sender — the wire-v3
+    construction — yields the chunk-concatenated per-item lex lists;
+    item-local ids and per-item receiver ranks (rperm) then come back by
+    subtracting the per-item offsets."""
+    import jax.numpy as jnp
+    node_start = packed['node_start']
+    edge_start = packed['edge_start']
+    n_fix, eh = spec.n_fix, spec.eh_fix
+
+    bits = packed['feat_bits']                      # [F, n_fix/8]
+    shifts = jnp.arange(8, dtype=jnp.uint8)
+    feats = ((bits[:, :, None] >> shifts[None, None, :]) & 1
+             ).reshape(spec.feat_dim, n_fix).T      # [n_fix, F] uint8
+
+    if spec.half:
+        hs = packed['half_senders'].astype(jnp.int32)
+        hr = packed['half_receivers'].astype(jnp.int32)
+        pos = jnp.arange(eh, dtype=jnp.int32)
+        item_h = jnp.searchsorted(
+            edge_start.astype(jnp.int32), pos * 2, side='right'
+        ).astype(jnp.int32) - 1
+        item_h = jnp.clip(item_h, 0, spec.items - 1)
+        off = node_start[item_h]
+        real_h = pos * 2 < packed['e_real']
+        sentinel = jnp.int32(n_fix)
+        hs_g = jnp.where(real_h, hs + off, sentinel)
+        hr_g = jnp.where(real_h, hr + off, sentinel)
+        bc = packed['half_class_bits']
+        hc = ((bc[pos // 4] >> (2 * (pos % 4))) & 3).astype(jnp.uint8)
+
+        all_s = jnp.concatenate([hr_g, hs_g])       # mirrors first
+        all_r = jnp.concatenate([hs_g, hr_g])
+        perm = jnp.argsort(all_s, stable=True)
+        senders_g = all_s[perm]
+        receivers_g = all_r[perm]
+        eclass = jnp.concatenate([hc, hc])[perm]
+        epos = jnp.arange(2 * eh, dtype=jnp.int32)
+        item_e = jnp.clip(jnp.searchsorted(
+            edge_start.astype(jnp.int32), epos, side='right'
+        ).astype(jnp.int32) - 1, 0, spec.items - 1)
+        eoff = node_start[item_e]
+        real_e = senders_g < sentinel
+        senders = jnp.where(real_e, senders_g - eoff, 0)
+        receivers = jnp.where(real_e, receivers_g - eoff, 0)
+        eclass = jnp.where(real_e, eclass, jnp.uint8(3))
+        # Per-item receiver ranks: one stable argsort of the global
+        # receivers (padding == sentinel sorts last), rebased per item.
+        rp_g = jnp.argsort(
+            jnp.where(real_e, receivers_g, jnp.int32(2 * n_fix)),
+            stable=True).astype(jnp.int32)
+        rperm = jnp.where(real_e, rp_g - edge_start[item_e], 0)
+    else:
+        epos = jnp.arange(eh, dtype=jnp.int32)
+        item_e = jnp.clip(jnp.searchsorted(
+            edge_start.astype(jnp.int32), epos, side='right'
+        ).astype(jnp.int32) - 1, 0, spec.items - 1)
+        real_e = epos < packed['e_real']
+        senders = jnp.where(real_e,
+                            packed['full_senders'].astype(jnp.int32), 0)
+        receivers = jnp.where(
+            real_e, packed['full_receivers'].astype(jnp.int32), 0)
+        eclass = jnp.where(real_e, packed['full_class'], jnp.uint8(3))
+        recv_g = jnp.where(real_e, receivers + node_start[item_e],
+                           jnp.int32(2 * n_fix))
+        rp_g = jnp.argsort(recv_g, stable=True).astype(jnp.int32)
+        rperm = jnp.where(real_e, rp_g - edge_start[item_e], 0)
+
+    return DeviceStoreArrays(
+        feats=feats, coords=packed['coords'],
+        senders=senders.astype(jnp.int32),
+        receivers=receivers.astype(jnp.int32),
+        rperm=rperm.astype(jnp.int32), eclass=eclass,
+        node_start=node_start, edge_start=edge_start,
+        node_len=packed['node_len'], edge_len=packed['edge_len'],
+        y=packed['y'], strain=packed['strain'])

@@ -167,6 +167,12 @@ class GraphDataLoader:
         # 1.35x bucket grid makes new records rare) and capacity-above-
         # load is always numerically safe.
         self._cap_high = 0
+        # Train epochs started by this loader: drives the dataset's
+        # deterministic per-(seed, epoch, item) augmented-active
+        # rotations and the hybrid device-store tail refresh. A resumed
+        # run's loader counts from 0 again — same semantics as the
+        # loader's own rng stream, which also replays from its seed.
+        self._epochs_started = 0
 
     def _meta_cap(self, measured: int) -> int:
         """meta.cap from a batch's measured capacity bucket: the pinned
@@ -266,11 +272,18 @@ class GraphDataLoader:
         instead."""
         if self.num_shards <= 1:
             return
+        # Edge-sharded batches are [gp, ...]-stacked with the edge axis
+        # SPLIT over gp; read the padded sizes off the trailing dims and
+        # recover the pre-split edge total.
+        n_pad = int(np.asarray(batch.node_feats).shape[-2])
+        e_pad = int(np.asarray(batch.senders).shape[-1])
+        if np.asarray(batch.senders).ndim > 1:
+            e_pad *= self.graph_shard
         if (len(self.node_buckets) == 1 and len(self.edge_buckets) == 1
-                and (batch.num_nodes != self.node_buckets[0]
-                     or batch.num_edges != self.edge_buckets[0])):
+                and (n_pad != self.node_buckets[0]
+                     or e_pad != self.edge_buckets[0])):
             raise ValueError(
-                f'batch padded to ({batch.num_nodes}, {batch.num_edges}) '
+                f'batch padded to ({n_pad}, {e_pad}) '
                 f'— beyond the pinned buckets ({self.node_buckets[0]}, '
                 f'{self.edge_buckets[0]}); raise --node_bucket/'
                 f'--edge_bucket (and --scatter_cap if set)')
@@ -483,6 +496,18 @@ class GraphDataLoader:
         return self.transfer_fn(batch), meta
 
     def __iter__(self):
+        if self.mode == 'train':
+            # Advance the augmented-active rotation stream (keyed by
+            # (seed, epoch, item) inside the dataset) and, in hybrid
+            # device-resident mode, re-featurise + re-upload the aug
+            # tail BEFORE the producer starts consuming store metadata.
+            epoch = self._epochs_started
+            self._epochs_started += 1
+            if hasattr(self.dataset, 'set_epoch'):
+                self.dataset.set_epoch(epoch)
+            refresh = getattr(self.device_store, 'refresh', None)
+            if refresh is not None:
+                refresh(self.dataset, epoch)
         # Deterministic loaders cache HOST batches; the device transfer is
         # re-applied per pass (the async device_put still pipelines ahead
         # of the consumer).

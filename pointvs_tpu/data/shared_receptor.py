@@ -187,11 +187,13 @@ class SharedReceptorDataset(PointCloudDataset):
                 intra_radius, self.radius)
         return self._shared_cache[key]
 
-    def _build_graph(self, lig_fname, rec_fname, aug_angle: float):
+    def _build_graph(self, lig_fname, rec_fname, aug_angle: float,
+                     rng=None):
         if not self._fast_path_ok(aug_angle) or \
                 str(lig_fname).rsplit('.', 1)[-1] != 'parquet' or \
                 str(rec_fname).rsplit('.', 1)[-1] != 'parquet':
-            return super()._build_graph(lig_fname, rec_fname, aug_angle)
+            return super()._build_graph(lig_fname, rec_fname, aug_angle,
+                                        rng=rng)
         from pointvs_tpu.data import fast_structs as fs
         shared = self._shared_for(rec_fname)
         lig_all = fs.read_struct(str(lig_fname))

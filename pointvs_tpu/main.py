@@ -190,10 +190,13 @@ def main(argv=None):
                               'multitask'):
             raise SystemExit('--graph_shard supports the egnn, lucid, '
                              'en_transformer and multitask models')
-        if args.multihost:
-            raise SystemExit('--graph_shard with --multihost is not '
-                             'supported yet: per-process 2-D batch '
-                             'assembly has no test coverage')
+        # --graph_shard composes with --multihost: the Trainer's 2-D
+        # (dp x gp) mesh spans all global devices (process-major device
+        # order puts each process's rows contiguous on the dp axis), the
+        # loader collates only this process's dp rows, and
+        # mesh.shard_batch assembles the global [dp, gp, ...] batch.
+        # Pinned against single-process training by tests/test_multihost
+        # (2 procs x 2 dp x 2 gp == 1 proc x 4 dp x 2 gp).
 
     args.hostname = socket.gethostname()
     args.slurm_jobid = os.getenv('SLURM_JOBID')

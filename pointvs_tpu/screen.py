@@ -144,6 +144,7 @@ def screen(model_path, receptor, ligands, output='screen_results.csv',
     # only item ids — the multi-MB per-batch wire puts disappear from
     # the scoring loop. POINTVS_SCREEN_DEVICE=0 restores the wire path.
     dd_store = None
+    dd_chunk = None   # (host_store, chunk_budget_bytes): chunked path
     if (os.environ.get('POINTVS_SCREEN_DEVICE', '1') == '1'
             and os.environ.get('POINTVS_SCREEN_SCAN', '0') != '1'
             and getattr(trainer, 'graph_shard', 1) <= 1):
@@ -151,11 +152,22 @@ def screen(model_path, receptor, ligands, output='screen_results.csv',
             DeviceGraphStore, build_host_store, store_eligibility)
         budget = float(os.environ.get('POINTVS_DD_BUDGET_MB',
                                       '2048')) * 1e6
+        # Chunked scoring: libraries that outgrow the HBM budget stream
+        # through it in compact packed shards (device_dataset.pack_chunk/
+        # expand_chunk) while the device scores; POINTVS_SCREEN_CHUNK_MB
+        # forces a chunk size for any library.
+        chunk_mb = float(os.environ.get('POINTVS_SCREEN_CHUNK_MB', '0'))
         if store_eligibility(dl.dataset) is None:
             host = build_host_store(dl.dataset)
-            if host.nbytes <= budget:
+            if host.nbytes <= budget and not chunk_mb:
                 dd_store = DeviceGraphStore(host, trainer.mesh)
                 dl.enable_device_dataset(dd_store)
+            elif trainer.num_devices == 1:
+                dd_chunk = (host, (chunk_mb * 1e6) or budget)
+            else:
+                LOG.info('library exceeds the HBM budget and chunked '
+                         'scoring is single-device; falling back to the '
+                         'streaming wire path')
     if dd_store is not None and trainer.num_devices == 1 and \
             os.environ.get('POINTVS_SCREEN_ONESHOT', '0') == '1':
         # One-shot mega-batches: re-batch the library into the fewest
@@ -261,7 +273,57 @@ def screen(model_path, receptor, ligands, output='screen_results.csv',
         group.clear()
         group_meta.clear()
 
-    for batch, meta in dl:
+    def run_chunked(host, chunk_budget):
+        """Score the library through HBM-resident chunks: pack -> upload
+        -> expand -> dispatch every batch of the chunk. Uploads/expands
+        queue on the device timeline between execs; the host packs the
+        next chunk while the device scores the current one."""
+        import jax
+        from pointvs_tpu.data.buckets import BatchMeta
+        from pointvs_tpu.data.device_dataset import (
+            DeviceCollateSpec, batch_row_cap, expand_chunk, pack_chunk,
+            plan_chunks)
+        from pointvs_tpu.parallel.mesh import shard_batch
+        ranges, cspec = plan_chunks(host, chunk_budget)
+        LOG.info(f'Chunked screen: {len(ranges)} chunks of <= '
+                 f'{cspec.items} poses ({cspec.n_fix} nodes x '
+                 f'{cspec.eh_fix} {"half-" if cspec.half else ""}edge '
+                 f'slots each)')
+        expand = jax.jit(lambda p: expand_chunk(p, cspec))
+        n_items = len(host.num_nodes)
+        # One sticky scatter cap for the whole screen (one program).
+        cap = max(batch_row_cap(
+            host, np.arange(lo, min(lo + per_dev, n_items)), n_fix)
+            for lo in range(0, n_items, per_dev))
+        live = []                  # keep chunk arrays until drain
+        for lo, hi in ranges:
+            packed = pack_chunk(host, lo, hi, cspec)
+            arrays = expand(jax.device_put(packed))
+            live.append(arrays)
+            for b_lo in range(lo, hi, per_dev):
+                b_hi = min(b_lo + per_dev, hi)
+                ids = np.full((1, per_dev), -1, np.int32)
+                ids[0, :b_hi - b_lo] = np.arange(b_lo - lo, b_hi - lo)
+                spec = DeviceCollateSpec(
+                    n_pad=n_fix, e_pad=e_fix, num_graphs=per_dev,
+                    symmetric=host.symmetric, rotate=False)
+                meta = BatchMeta(host.lig_fnames[b_lo:b_hi],
+                                 host.rec_fnames[b_lo:b_hi])
+                gm = np.zeros((1, per_dev), np.float32)
+                gm[0, :b_hi - b_lo] = 1.0
+                meta.graph_mask = gm
+                batch_dev = ('ids', shard_batch(ids, trainer.mesh),
+                             arrays, spec)
+                in_flight.append(
+                    ('batch', eval_fn(trainer.params, batch_dev, cap=cap),
+                     meta))
+        return live
+
+    _chunk_live = None
+    if dd_chunk is not None:
+        _chunk_live = run_chunked(*dd_chunk)
+
+    for batch, meta in (() if dd_chunk is not None else dl):
         if isinstance(batch, tuple) and batch[0] == 'host_packed':
             group.append(batch)
             group_meta.append(meta)

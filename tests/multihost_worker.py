@@ -145,6 +145,45 @@ def main():
                  losses=np.array(dd_losses),
                  **{f'p{i}': np.asarray(l) for i, l in enumerate(leaves)})
 
+    # --graph_shard x --multihost composition (VERDICT r4 item #5): the
+    # 2-D (dp x gp) mesh spans processes — global mesh (total//gp, gp),
+    # each process's loader collating only its own dp rows with every
+    # graph's edges split over the gp columns. Same seed/stream as the
+    # phases above, so the 1-proc and 2-proc runs must produce identical
+    # per-step losses and final params.
+    gp = 2
+    if total % gp == 0 and (total // gp) % n_proc == 0:
+        from pointvs_tpu.parallel.graph_shard import make_train_step_2d
+        from pointvs_tpu.parallel.mesh import get_mesh_2d
+        mesh2 = get_mesh_2d(total // gp, gp)
+        gs_model = build_model(
+            'egnn', dim_input=ds.feature_dim, k=12, dim_output=1,
+            num_layers=2, scan_layers=True, residual=True,
+            graphnorm=True, edge_shard_axis='gp')
+        gs_dl = GraphDataLoader(
+            ds, batch_size=8 // n_proc, mode='train',
+            num_devices=local_rows // gp, graph_shard=gp, prefetch=0,
+            seed=3, shard_index=pid, num_shards=n_proc,
+            node_buckets=(256,), edge_buckets=(1024,))
+        p3 = replicate(jax.jit(model.init)(jax.random.PRNGKey(0),
+                                           init_batch), mesh2)
+        o3 = replicate(tx.init(jax.jit(model.init)(
+            jax.random.PRNGKey(0), init_batch)), mesh2)
+        step2d = make_train_step_2d(gs_model, tx, 'classification',
+                                    'mse', mesh2)
+        gs_losses = []
+        for _ in range(2):
+            for batch, _meta in gs_dl:
+                dev = shard_batch(batch, mesh2, ('dp', 'gp'))
+                p3, o3, loss = step2d(p3, o3, dev, lr, rng)
+                gs_losses.append(float(np.asarray(jax.device_get(loss))))
+        if pid == 0:
+            leaves = jax.tree.leaves(jax.device_get(p3))
+            np.savez(f'{out}/result_gs_{n_proc}proc.npz',
+                     losses=np.array(gs_losses),
+                     **{f'p{i}': np.asarray(l)
+                        for i, l in enumerate(leaves)})
+
     # All processes must stay alive until every file has been written.
     if n_proc > 1:
         import jax.experimental.multihost_utils as mhu

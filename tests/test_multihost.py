@@ -120,6 +120,16 @@ def test_two_process_training_matches_single_process(tmp_path):
         np.testing.assert_allclose(one_dd[k], two_dd[k], atol=1e-5,
                                    err_msg=f'dd param leaf {k}')
 
+    # --graph_shard x --multihost (2-D dp x gp mesh across processes):
+    # 2 procs x (2 dp rows x 2 gp columns) == 1 proc x (4 x 2).
+    one_gs = np.load(f'{out}/result_gs_1proc.npz')
+    two_gs = np.load(f'{out}/result_gs_2proc.npz')
+    np.testing.assert_allclose(one_gs['losses'], two_gs['losses'],
+                               atol=1e-5)
+    for k in sorted(k for k in one_gs.files if k.startswith('p')):
+        np.testing.assert_allclose(one_gs[k], two_gs[k], atol=1e-5,
+                                   err_msg=f'gs param leaf {k}')
+
 
 def test_loader_striping_partitions_indices_exactly():
     """shard_index/num_shards stripes of the same seeded stream are a

@@ -85,3 +85,30 @@ def test_screen_oneshot_and_repeat_match_dispatch(model_dir, tmp_path,
     repeat = run('repeat', POINTVS_SCREEN_REPEAT='3')
     np.testing.assert_allclose(oneshot, ref, atol=1e-6)
     np.testing.assert_allclose(repeat, ref, atol=1e-6)
+
+
+def test_screen_chunked_matches_resident(model_dir, tmp_path,
+                                         monkeypatch):
+    """Chunked HBM streaming (pack_chunk/expand_chunk shards scored
+    while the library exceeds the chunk budget) produces byte-identical
+    scores to the fully-resident device-store path."""
+    lib = tmp_path / 'library'
+    lib.mkdir()
+    for i in range(6):
+        shutil.copy('tests/resources/lig_0.parquet',
+                    lib / f'lig_{i}.parquet')
+
+    def run(tag, **env):
+        for k, v in env.items():
+            monkeypatch.setenv(k, v)
+        out = tmp_path / f'hits_{tag}.csv'
+        df = screen(model_dir, 'tests/resources/rec_0.parquet',
+                    str(lib), output=str(out), batch_size=2)
+        for k in env:
+            monkeypatch.delenv(k)
+        return df.sort_values('ligand').score.to_numpy()
+
+    ref = run('resident')
+    # ~tiny chunk budget: forces several chunks for the 6-pose library.
+    chunked = run('chunked', POINTVS_SCREEN_CHUNK_MB='0.08')
+    np.testing.assert_array_equal(chunked, ref)
