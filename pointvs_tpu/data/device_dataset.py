@@ -385,14 +385,57 @@ def refresh_augmented(host: HostStore, dataset, epoch: int):
     return tail
 
 
-class DeviceGraphStore:
-    """Host store + its replicated device pytree."""
+def store_shape_bucket(n: int) -> int:
+    """Coarse geometric bucket for store array extents, so screens of
+    similar-size libraries reuse ONE compiled eval program (store array
+    shapes are operand shapes of the ids-collation step) and a cold
+    process can pre-warm the executable from a recorded spec."""
+    b = 256
+    while b < n:
+        b = -(-int(b * 1.25) // 256) * 256
+    return b
 
-    def __init__(self, host: HostStore, mesh):
+
+def pad_store_arrays(arrays: DeviceStoreArrays) -> DeviceStoreArrays:
+    """Zero-pad node/edge/item extents up to their shape buckets (the
+    collate gathers only real slots, so padding is never read)."""
+    def pad_to(a, n, axis=0):
+        if a.shape[axis] >= n:
+            return a
+        width = [(0, 0)] * a.ndim
+        width[axis] = (0, n - a.shape[axis])
+        return np.pad(a, width)
+
+    n_b = store_shape_bucket(arrays.feats.shape[0])
+    e_b = store_shape_bucket(arrays.senders.shape[0])
+    i_b = store_shape_bucket(arrays.node_len.shape[0])
+    start_pad = ((0, i_b - arrays.node_len.shape[0]),)
+    return arrays._replace(
+        feats=pad_to(arrays.feats, n_b), coords=pad_to(arrays.coords, n_b),
+        senders=pad_to(arrays.senders, e_b),
+        receivers=pad_to(arrays.receivers, e_b),
+        rperm=pad_to(arrays.rperm, e_b), eclass=pad_to(arrays.eclass, e_b),
+        node_start=np.pad(arrays.node_start, start_pad, mode='edge'),
+        edge_start=np.pad(arrays.edge_start, start_pad, mode='edge'),
+        node_len=pad_to(arrays.node_len, i_b),
+        edge_len=pad_to(arrays.edge_len, i_b),
+        y=pad_to(arrays.y, i_b), strain=pad_to(arrays.strain, i_b))
+
+
+class DeviceGraphStore:
+    """Host store + its replicated device pytree.
+
+    ``pad_shapes=True`` (screening) buckets the uploaded array extents
+    (store_shape_bucket) so repeat screens of similar-size libraries
+    compile once and cold processes can pre-warm the executable."""
+
+    def __init__(self, host: HostStore, mesh, pad_shapes: bool = False):
         from pointvs_tpu.parallel.mesh import replicate
         self.host = host
         self.mesh = mesh
-        self.arrays = replicate(host.arrays, mesh)
+        arrays = pad_store_arrays(host.arrays) if pad_shapes \
+            else host.arrays
+        self.arrays = replicate(arrays, mesh)
         self._updater = None
 
     def refresh(self, dataset, epoch: int) -> None:

@@ -24,9 +24,72 @@ import pandas as pd
 from pointvs_tpu.data.loader import get_data_loader
 from pointvs_tpu.logging import get_logger
 from pointvs_tpu.models.load_model import load_model
-from pointvs_tpu.utils import expand_path, mkdir
+from pointvs_tpu.utils import expand_path, load_yaml, mkdir, save_yaml
 
 LOG = get_logger('PointVS-TPU')
+
+
+def _prewarm_from_sidecar(trainer, batch_size: int):
+    """Cold-start cut (VERDICT r4 item #7): a previous screen run
+    records its compiled-program spec in <run_dir>/screen_spec.yaml;
+    re-screens compile + load the eval executable in a background
+    thread CONCURRENTLY with host featurisation, so the one-time
+    per-process trace + remote executable load (~3-13 s) overlaps work
+    that had to happen anyway. Harmless no-op when the spec changed:
+    the real pass just compiles its own program as before."""
+    import threading
+
+    path = expand_path(trainer.save_path) / 'screen_spec.yaml'
+    if not path.exists():
+        return None
+    rec = load_yaml(path) or {}
+    if (rec.get('kind') != 'resident'
+            or rec.get('batch_size') != batch_size
+            or rec.get('num_devices') != trainer.num_devices):
+        return None
+
+    def work():
+        try:
+            from pointvs_tpu.data.device_dataset import (
+                DeviceCollateSpec, DeviceStoreArrays)
+            from pointvs_tpu.parallel.mesh import replicate, shard_batch
+            i_b = int(rec['i_b'])
+            y_shape = (i_b, 3) if rec.get('y3') else (i_b,)
+            arrays = DeviceStoreArrays(
+                feats=np.zeros((rec['n_b'], rec['feat_dim']),
+                               np.dtype(rec['feats_dtype'])),
+                coords=np.zeros((rec['n_b'], 3), np.float32),
+                senders=np.zeros(rec['e_b'], np.dtype(rec['idx_dtype'])),
+                receivers=np.zeros(rec['e_b'],
+                                   np.dtype(rec['idx_dtype'])),
+                rperm=np.zeros(rec['e_b'], np.dtype(rec['rperm_dtype'])),
+                eclass=np.full(rec['e_b'], 3, np.uint8),
+                node_start=np.zeros(i_b + 1, np.int32),
+                edge_start=np.zeros(i_b + 1, np.int32),
+                node_len=np.zeros(i_b, np.int32),
+                edge_len=np.zeros(i_b, np.int32),
+                y=np.zeros(y_shape, np.float32),
+                strain=np.zeros((i_b, 2), np.float32))
+            arrays = replicate(arrays, trainer.mesh)
+            ids = np.full((trainer.num_devices, rec['per_dev']), -1,
+                          np.int32)
+            spec = DeviceCollateSpec(
+                n_pad=rec['n_pad'], e_pad=rec['e_pad'],
+                num_graphs=rec['per_dev'],
+                symmetric=bool(rec['symmetric']), rotate=False)
+            ev = trainer._eval_step()
+            out = ev(trainer.params,
+                     ('ids', shard_batch(ids, trainer.mesh), arrays,
+                      spec), cap=rec.get('cap'))
+            float(np.asarray(out).ravel()[0])   # fence: exec loaded
+            LOG.info('Pre-warmed screening executable from '
+                     'screen_spec.yaml')
+        except Exception as exc:   # never fail the screen for a warm-up
+            LOG.info(f'Screen pre-warm skipped: {exc!r}')
+
+    t = threading.Thread(target=work, daemon=True)
+    t.start()
+    return rec
 
 
 def _collect_ligands(ligands) -> list:
@@ -46,7 +109,7 @@ def screen(model_path, receptor, ligands, output='screen_results.csv',
            batch_size: int = 256, radius: float = 10,
            edge_radius: float = 4, estimate_bonds: bool = False,
            attribute_top: int = 0, attribution: str = 'atom_masking',
-           num_devices=None) -> pd.DataFrame:
+           num_devices=None, cache_dir=None) -> pd.DataFrame:
     """Score every ligand against the receptor; returns the ranked frame."""
     receptor = expand_path(receptor)
     lig_files = _collect_ligands(ligands)
@@ -54,15 +117,17 @@ def screen(model_path, receptor, ligands, output='screen_results.csv',
         raise SystemExit(f'No ligand files found under {ligands}')
     LOG.info(f'Screening {len(lig_files)} ligands against {receptor.name}')
 
-    # Order the library by ligand size (parquet metadata only — no data
-    # read): homogeneous batches hit far fewer padding buckets, so the
-    # whole screen compiles a handful of shapes instead of one per batch.
-    import pyarrow.parquet as pq
+    # Order the library by ligand size: homogeneous batches hit far
+    # fewer padding buckets, so the whole screen compiles a handful of
+    # shapes instead of one per batch. File size is the sort key — with
+    # one schema it orders like atom count, and a stat costs ~2 us vs
+    # ~2-5 ms for a parquet metadata read (minutes at 100k+ poses).
+    import os as _os
 
     def _atoms(path):
         try:
-            return pq.ParquetFile(path).metadata.num_rows
-        except Exception:
+            return _os.path.getsize(path)
+        except OSError:
             return 0
 
     lig_files = sorted(lig_files, key=_atoms)
@@ -80,6 +145,9 @@ def screen(model_path, receptor, ligands, output='screen_results.csv',
     trainer.set_task(model_kwargs.get('model_task', 'classification')
                      if model_kwargs.get('model_task') != 'both'
                      else 'classification')
+    # Kick off executable pre-warm from the previous run's spec sidecar
+    # (overlaps the featurisation/sizing passes below).
+    prewarm_rec = _prewarm_from_sidecar(trainer, batch_size)
 
     from pointvs_tpu.data.shared_receptor import SharedReceptorDataset
     dl = get_data_loader(
@@ -94,6 +162,7 @@ def screen(model_path, receptor, ligands, output='screen_results.csv',
         edge_radius=cmd_args.get('edge_radius', edge_radius),
         estimate_bonds=cmd_args.get('estimate_bonds', estimate_bonds),
         prune=cmd_args.get('prune', False),
+        cache_dir=cache_dir,
         num_devices=trainer.num_devices)
 
     # One bucket for the whole screen: measure EVERY batch's (node, edge)
@@ -119,6 +188,12 @@ def screen(model_path, receptor, ligands, output='screen_results.csv',
     dl.edge_buckets = [e_fix]
     LOG.info(f'Screen bucket: {n_fix} nodes x {e_fix} edges '
              f'(max batch {max_n}/{max_e})')
+
+    if prewarm_rec and prewarm_rec.get('cap') and dl.scatter_cap is None:
+        # Seed the loader's sticky scatter cap with the recorded value so
+        # the first batches reuse the pre-warmed max-cap program instead
+        # of compiling lower-cap variants first.
+        dl._cap_high = max(dl._cap_high, int(prewarm_rec['cap']))
 
     eval_fn = trainer._eval_step()
     # Pipeline: collation + wire packing run in the loader's producer
@@ -160,7 +235,11 @@ def screen(model_path, receptor, ligands, output='screen_results.csv',
         if store_eligibility(dl.dataset) is None:
             host = build_host_store(dl.dataset)
             if host.nbytes <= budget and not chunk_mb:
-                dd_store = DeviceGraphStore(host, trainer.mesh)
+                # pad_shapes: bucket the uploaded extents so similar-size
+                # libraries reuse one compiled program and the pre-warm
+                # sidecar (below) can predict the shapes cold.
+                dd_store = DeviceGraphStore(host, trainer.mesh,
+                                            pad_shapes=True)
                 dl.enable_device_dataset(dd_store)
             elif trainer.num_devices == 1:
                 dd_chunk = (host, (chunk_mb * 1e6) or budget)
@@ -296,10 +375,22 @@ def screen(model_path, receptor, ligands, output='screen_results.csv',
             host, np.arange(lo, min(lo + per_dev, n_items)), n_fix)
             for lo in range(0, n_items, per_dev))
         live = []                  # keep chunk arrays until drain
+        stack_cache = {}
+
+        def stacked(outs):
+            # ONE D2H buffer per chunk: individual logit fetches cost a
+            # tunnel round trip each (~0.1-0.5 s), which would dominate
+            # the drain at library scale (hundreds of batches).
+            if len(outs) not in stack_cache:
+                stack_cache[len(outs)] = jax.jit(
+                    lambda *xs: jax.numpy.stack(xs))
+            return stack_cache[len(outs)](*outs)
+
         for lo, hi in ranges:
             packed = pack_chunk(host, lo, hi, cspec)
             arrays = expand(jax.device_put(packed))
             live.append(arrays)
+            outs, metas = [], []
             for b_lo in range(lo, hi, per_dev):
                 b_hi = min(b_lo + per_dev, hi)
                 ids = np.full((1, per_dev), -1, np.int32)
@@ -314,9 +405,9 @@ def screen(model_path, receptor, ligands, output='screen_results.csv',
                 meta.graph_mask = gm
                 batch_dev = ('ids', shard_batch(ids, trainer.mesh),
                              arrays, spec)
-                in_flight.append(
-                    ('batch', eval_fn(trainer.params, batch_dev, cap=cap),
-                     meta))
+                outs.append(eval_fn(trainer.params, batch_dev, cap=cap))
+                metas.append(meta)
+            in_flight.append(('scan', stacked(outs), len(outs), metas))
         return live
 
     _chunk_live = None
@@ -373,6 +464,26 @@ def screen(model_path, receptor, ligands, output='screen_results.csv',
     LOG.info(f'Scored {len(rows)} poses in {elapsed:.1f}s '
              f'({len(rows) / max(elapsed, 1e-9):.0f} poses/s end-to-end)')
 
+    if dd_store is not None:
+        # Record this run's compiled-program spec so the NEXT cold
+        # process pre-warms the executable during featurisation.
+        arr = dd_store.arrays
+        save_yaml({
+            'kind': 'resident', 'batch_size': batch_size,
+            'num_devices': trainer.num_devices, 'per_dev': per_dev,
+            'n_pad': int(n_fix), 'e_pad': int(e_fix),
+            'symmetric': bool(dd_store.host.symmetric),
+            'cap': (int(dl._cap_high) if dl._cap_high else None),
+            'n_b': int(arr.feats.shape[0]),
+            'e_b': int(arr.senders.shape[0]),
+            'i_b': int(arr.node_len.shape[0]),
+            'feat_dim': int(arr.feats.shape[1]),
+            'feats_dtype': str(np.dtype(arr.feats.dtype)),
+            'idx_dtype': str(np.dtype(arr.senders.dtype)),
+            'rperm_dtype': str(np.dtype(arr.rperm.dtype)),
+            'y3': bool(np.ndim(arr.y) > 1),
+        }, expand_path(trainer.save_path) / 'screen_spec.yaml')
+
     repeat = int(os.environ.get('POINTVS_SCREEN_REPEAT', '1'))
     if repeat > 1 and ids_batches:
         # Sustained-throughput measurement: the first pass pays the
@@ -427,10 +538,15 @@ def main(argv=None):
     ap.add_argument('--attribute_top', type=int, default=0)
     ap.add_argument('--attribution', default='atom_masking')
     ap.add_argument('--num_devices', type=int, default=None)
+    ap.add_argument('--cache_dir', default=None,
+                    help='On-disk featurisation cache (production '
+                         'libraries screen repeatedly; do not re-'
+                         'featurise)')
     args = ap.parse_args(argv)
     screen(args.model, args.receptor, args.ligands, output=args.output,
            batch_size=args.batch_size, attribute_top=args.attribute_top,
-           attribution=args.attribution, num_devices=args.num_devices)
+           attribution=args.attribution, num_devices=args.num_devices,
+           cache_dir=args.cache_dir)
 
 
 if __name__ == '__main__':
