@@ -303,9 +303,60 @@ def build_host_store(dataset) -> HostStore:
         node_len=np.zeros(n_items, np.int32),
         edge_len=np.zeros(n_items, np.int32), y=y, strain=strain)
     symmetric = True
-    for i, s in enumerate(samples):
-        symmetric &= _write_item(arrays, sorted_recv, i, s,
-                                 check_symmetric=symmetric)
+    if aug_from >= n_items:
+        # Dense slots (no aug tail): ONE vectorised pass. The per-item
+        # python loop below costs ~0.7 ms/item — 70 s at a 100k-pose
+        # screening library — while these bulk ops take ~2-4 s.
+        feats[:] = np.concatenate(
+            [np.asarray(s.node_feats) for s in samples]).astype(
+                feats.dtype, copy=False)
+        coords[:] = np.concatenate(
+            [np.asarray(s.coords) for s in samples]).astype(np.float32)
+        s_all = np.concatenate(
+            [np.asarray(s.senders) for s in samples]) \
+            if e_tot else np.zeros(0, np.int64)
+        r_all = np.concatenate(
+            [np.asarray(s.receivers) for s in samples]) \
+            if e_tot else np.zeros(0, np.int64)
+        rp_all = np.concatenate(
+            [(np.asarray(s.recv_perm) if s.recv_perm is not None
+              else np.argsort(np.asarray(s.receivers), kind='stable'))
+             for s in samples]) if e_tot else np.zeros(0, np.int64)
+        eclass[:] = np.concatenate(
+            [np.argmax(s.edge_attr, axis=-1).astype(np.uint8)
+             if s.num_edges else np.zeros(0, np.uint8)
+             for s in samples]) if e_tot else eclass[:0]
+        if e_tot:
+            e_off = np.repeat(edge_start[:-1].astype(np.int64),
+                              num_edges)
+            rp_g = rp_all.astype(np.int64) + e_off
+            sr = r_all[rp_g]
+            senders[:] = s_all
+            receivers[:] = r_all
+            rperm[:] = rp_all
+            sorted_recv[:] = sr
+            # Per-item mirror-involution (vectorised): senders[rp] ==
+            # receivers AND receivers[rp] == senders per item.
+            symmetric = (np.array_equal(s_all[rp_g], r_all)
+                         and np.array_equal(sr, s_all))
+            # Collator precondition: per-item edges sender-sorted
+            # (order may legitimately reset at item boundaries).
+            nondec = s_all[1:] >= s_all[:-1]
+            bounds = edge_start[1:-1].astype(np.int64) - 1
+            nondec[bounds[(bounds >= 0) & (bounds < e_tot - 1)]] = True
+            if not np.all(nondec):
+                bad = int(np.searchsorted(
+                    edge_start, np.flatnonzero(~nondec)[0],
+                    side='right')) - 1
+                raise ValueError(
+                    f'item {bad} edges not sender-sorted; device '
+                    f'collation requires the lex-sorted blob format')
+        arrays.node_len[:] = num_nodes
+        arrays.edge_len[:] = num_edges
+    else:
+        for i, s in enumerate(samples):
+            symmetric &= _write_item(arrays, sorted_recv, i, s,
+                                     check_symmetric=symmetric)
 
     nbytes = sum(a.nbytes for a in arrays)
     LOG.info(f'Device-dataset store: {n_items} items '
@@ -653,9 +704,15 @@ class StoreChunkSpec(NamedTuple):
     eh_fix: int         # half-edge slots (multiple of 4 for 2-bit class)
     feat_dim: int
     half: bool          # symmetric-half edges (False: full lists)
+    # raw: ship full edge lists INCLUDING rperm — ~2.2x the wire bytes of
+    # the half codec, but ZERO device-side sorts. Measured on the
+    # tunneled chip: the half codec's expand costs 7.0 s/chunk hot (two
+    # 28M-element TPU argsorts) + a multi-minute first compile, far more
+    # than the extra upload seconds; raw is the default for screening.
+    raw: bool = False
 
 
-def plan_chunks(host: HostStore, budget_bytes: float):
+def plan_chunks(host: HostStore, budget_bytes: float, raw: bool = True):
     """(ranges, spec): contiguous item ranges whose EXPANDED store bytes
     fit ``budget_bytes``, plus the fixed chunk shapes."""
     if host.aug_from < len(host.num_nodes):
@@ -682,6 +739,11 @@ def plan_chunks(host: HostStore, budget_bytes: float):
     n_fix = max(int(ns[hi] - ns[lo]) for lo, hi in ranges)
     e_fix = max(int(es[hi] - es[lo]) for lo, hi in ranges)
     n_fix = -(-n_fix // 8) * 8
+    if raw:
+        eh_fix = -(-e_fix // 4) * 4
+        return ranges, StoreChunkSpec(
+            items=items, n_fix=n_fix, eh_fix=eh_fix, feat_dim=feat_dim,
+            half=False, raw=True)
     eh_fix = -(-(e_fix // 2) // 4) * 4 if host.symmetric else e_fix
     return ranges, StoreChunkSpec(items=items, n_fix=n_fix, eh_fix=eh_fix,
                                   feat_dim=feat_dim, half=host.symmetric)
@@ -720,7 +782,23 @@ def pack_chunk(host: HostStore, lo: int, hi: int, spec: StoreChunkSpec):
     s = a.senders[e_lo:e_hi].astype(np.int32)
     r = a.receivers[e_lo:e_hi].astype(np.int32)
     ec = a.eclass[e_lo:e_hi]
-    if spec.half:
+    if spec.raw:
+        # Full lists + rperm, smallest lossless dtypes, classes 2-bit:
+        # no device-side reconstruction at all.
+        fs = np.zeros(spec.eh_fix, a.senders.dtype)
+        fr = np.zeros(spec.eh_fix, a.receivers.dtype)
+        fp = np.zeros(spec.eh_fix, a.rperm.dtype)
+        fc = np.full(spec.eh_fix, 3, np.uint8)
+        fs[:e] = a.senders[e_lo:e_hi]
+        fr[:e] = a.receivers[e_lo:e_hi]
+        fp[:e] = a.rperm[e_lo:e_hi]
+        fc[:e] = ec
+        e4 = fc.reshape(-1, 4)
+        class_bits = (e4[:, 0] | (e4[:, 1] << 2) | (e4[:, 2] << 4)
+                      | (e4[:, 3] << 6)).astype(np.uint8)
+        edges = {'raw_senders': fs, 'raw_receivers': fr, 'raw_rperm': fp,
+                 'raw_class_bits': class_bits}
+    elif spec.half:
         keep = s < r                 # per-item lex order is preserved
         hs, hr, hc = s[keep], r[keep], ec[keep]
         half_senders = np.full(spec.eh_fix, np.uint16(0xffff), np.uint16)
@@ -771,6 +849,19 @@ def expand_chunk(packed: dict, spec: StoreChunkSpec) -> DeviceStoreArrays:
     shifts = jnp.arange(8, dtype=jnp.uint8)
     feats = ((bits[:, :, None] >> shifts[None, None, :]) & 1
              ).reshape(spec.feat_dim, n_fix).T      # [n_fix, F] uint8
+
+    if spec.raw:
+        pos = jnp.arange(eh, dtype=jnp.int32)
+        bc = packed['raw_class_bits']
+        eclass = ((bc[pos // 4] >> (2 * (pos % 4))) & 3).astype(jnp.uint8)
+        return DeviceStoreArrays(
+            feats=feats, coords=packed['coords'],
+            senders=packed['raw_senders'].astype(jnp.int32),
+            receivers=packed['raw_receivers'].astype(jnp.int32),
+            rperm=packed['raw_rperm'].astype(jnp.int32), eclass=eclass,
+            node_start=node_start, edge_start=edge_start,
+            node_len=packed['node_len'], edge_len=packed['edge_len'],
+            y=packed['y'], strain=packed['strain'])
 
     if spec.half:
         hs = packed['half_senders'].astype(jnp.int32)
@@ -833,3 +924,48 @@ def expand_chunk(packed: dict, spec: StoreChunkSpec) -> DeviceStoreArrays:
         node_start=node_start, edge_start=edge_start,
         node_len=packed['node_len'], edge_len=packed['edge_len'],
         y=packed['y'], strain=packed['strain'])
+
+
+# --------------------------------------------------------------------- #
+# Host-store disk cache: production screening re-scores the same
+# featurised library many times — the per-item __getitem__ passes
+# (~1 ms/item even fully memory-cached: object construction dominates)
+# put a ~1,000 poses/s ceiling on a 100k-pose screen's host prep. One
+# flat blob of the BUILT store loads at disk bandwidth instead.
+
+def save_host_store(host: HostStore, path) -> None:
+    from pointvs_tpu.data.blob import save_blob
+    from pathlib import Path
+    path = Path(path)
+    names = '\n'.join(host.lig_fnames).encode()
+    recs = '\n'.join(host.rec_fnames).encode()
+    arrays = {f'a_{k}': v for k, v in host.arrays._asdict().items()}
+    arrays.update(
+        num_nodes=host.num_nodes, num_edges=host.num_edges,
+        sorted_recv=host.sorted_recv,
+        lig_fnames=np.frombuffer(names, np.uint8).copy(),
+        rec_fnames=np.frombuffer(recs, np.uint8).copy(),
+        flags=np.array([int(host.symmetric), int(host.rot),
+                        host.aug_from], np.int64))
+    tmp = path.with_suffix('.tmp.bin')
+    save_blob(tmp, arrays)
+    tmp.rename(path)
+
+
+def load_host_store(path) -> Optional[HostStore]:
+    from pathlib import Path
+    from pointvs_tpu.data.blob import load_blob
+    if not Path(path).exists():
+        return None
+    b = load_blob(path)
+    arrays = DeviceStoreArrays(
+        **{k[2:]: v for k, v in b.items() if k.startswith('a_')})
+    flags = b['flags']
+    nbytes = sum(a.nbytes for a in arrays)
+    return HostStore(
+        arrays=arrays, num_nodes=b['num_nodes'],
+        num_edges=b['num_edges'], sorted_recv=b['sorted_recv'],
+        lig_fnames=b['lig_fnames'].tobytes().decode().split('\n'),
+        rec_fnames=b['rec_fnames'].tobytes().decode().split('\n'),
+        symmetric=bool(flags[0]), rot=bool(flags[1]), nbytes=nbytes,
+        aug_from=int(flags[2]), aug_epoch=[0], aug_spills=[0])

@@ -165,29 +165,94 @@ def screen(model_path, receptor, ligands, output='screen_results.csv',
         cache_dir=cache_dir,
         num_devices=trainer.num_devices)
 
-    # One bucket for the whole screen: measure EVERY batch's (node, edge)
-    # totals up front and pin the loader's grids to the maxima, so
-    # exactly one program compiles regardless of library size. This
-    # matters doubly on remote-compile backends: even a persistent-cache
-    # HIT costs ~25 s per distinct program (executable reload), so shape
-    # count, not compile count, is the wall-clock lever. The items are
-    # memory-cached by this pass, so the scoring loop below gets them
-    # for free.
+    # Device-store decision FIRST: the built store (possibly loaded from
+    # the store-level disk cache — production libraries re-screen, and
+    # even a fully memory-cached per-item pass costs ~1 ms/item in
+    # object construction, a 1,000 poses/s host ceiling at 100k poses)
+    # carries the per-item sizes, so batch sizing needs no item pass.
+    import hashlib
+    import os
     from pointvs_tpu.data.buckets import pick_bucket
     per_dev = batch_size // max(1, trainer.num_devices)
-    sizes = [(dl.dataset[i].num_nodes, dl.dataset[i].num_edges)
-             for i in range(len(dl.dataset))]
-    max_n = max_e = 1
-    for lo in range(0, len(sizes), per_dev):
-        chunk = sizes[lo:lo + per_dev]
-        max_n = max(max_n, sum(s[0] for s in chunk))
-        max_e = max(max_e, sum(s[1] for s in chunk))
+    dd_store = None
+    dd_chunk = None   # (host_store, chunk_budget_bytes): chunked path
+    host = None
+    if (os.environ.get('POINTVS_SCREEN_DEVICE', '1') == '1'
+            and os.environ.get('POINTVS_SCREEN_SCAN', '0') != '1'
+            and getattr(trainer, 'graph_shard', 1) <= 1):
+        from pointvs_tpu.data.device_dataset import (
+            DeviceGraphStore, build_host_store, load_host_store,
+            save_host_store, store_eligibility)
+        budget = float(os.environ.get('POINTVS_DD_BUDGET_MB',
+                                      '2048')) * 1e6
+        chunk_mb = float(os.environ.get('POINTVS_SCREEN_CHUNK_MB', '0'))
+        if store_eligibility(dl.dataset) is None:
+            store_path = None
+            if cache_dir is not None:
+                params = (manifest.read_text(),
+                          cmd_args.get('compact', True),
+                          cmd_args.get('radius', radius),
+                          cmd_args.get('edge_radius', edge_radius),
+                          cmd_args.get('estimate_bonds', estimate_bonds),
+                          cmd_args.get('prune', False),
+                          cmd_args.get('use_atomic_numbers', False),
+                          cmd_args.get('hydrogens', False), 'store1')
+                digest = hashlib.sha1(
+                    repr(params).encode()).hexdigest()[:24]
+                store_path = Path(cache_dir) / f'store_{digest}.bin'
+                t0 = time.perf_counter()
+                host = load_host_store(store_path)
+                if host is not None:
+                    LOG.info(f'Host store loaded from cache in '
+                             f'{time.perf_counter() - t0:.1f}s '
+                             f'({host.nbytes / 1e6:.0f} MB)')
+            if host is None:
+                host = build_host_store(dl.dataset)
+                if store_path is not None:
+                    save_host_store(host, store_path)
+                    LOG.info(f'Host store cached to {store_path}')
+
+    if host is not None:
+        # Vectorised batch sizing from the store's size arrays.
+        nn = np.concatenate([[0], np.cumsum(host.num_nodes)])
+        ne = np.concatenate([[0], np.cumsum(host.num_edges)])
+        bounds = np.arange(0, len(host.num_nodes) + per_dev - 1, per_dev)
+        bounds = np.clip(bounds, 0, len(host.num_nodes))
+        max_n = int(np.max(np.diff(nn[bounds]), initial=1))
+        max_e = int(np.max(np.diff(ne[bounds]), initial=1))
+    else:
+        # One per-item pass: pin ONE bucket for the whole screen (shape
+        # count, not compile count, is the wall-clock lever on remote-
+        # compile backends). The pass memory-caches every item for the
+        # scoring loop.
+        sizes = [(dl.dataset[i].num_nodes, dl.dataset[i].num_edges)
+                 for i in range(len(dl.dataset))]
+        max_n = max_e = 1
+        for lo in range(0, len(sizes), per_dev):
+            chunk = sizes[lo:lo + per_dev]
+            max_n = max(max_n, sum(s[0] for s in chunk))
+            max_e = max(max_e, sum(s[1] for s in chunk))
     n_fix = pick_bucket(max_n, dl.node_buckets)
     e_fix = pick_bucket(max_e, dl.edge_buckets)
     dl.node_buckets = [n_fix]
     dl.edge_buckets = [e_fix]
     LOG.info(f'Screen bucket: {n_fix} nodes x {e_fix} edges '
              f'(max batch {max_n}/{max_e})')
+
+    if host is not None:
+        if host.nbytes <= budget and not chunk_mb:
+            # pad_shapes: bucket the uploaded extents so similar-size
+            # libraries reuse one compiled program and the pre-warm
+            # sidecar can predict the shapes cold.
+            dd_store = DeviceGraphStore(host, trainer.mesh,
+                                        pad_shapes=True)
+            dl.enable_device_dataset(dd_store)
+        elif trainer.num_devices == 1:
+            dd_chunk = (host, (chunk_mb * 1e6) or budget)
+        else:
+            LOG.info('library exceeds the HBM budget and chunked '
+                     'scoring is single-device; falling back to the '
+                     'streaming wire path')
 
     if prewarm_rec and prewarm_rec.get('cap') and dl.scatter_cap is None:
         # Seed the loader's sticky scatter cap with the recorded value so
@@ -212,41 +277,6 @@ def screen(model_path, receptor, ligands, output='screen_results.csv',
         return ('host_packed', pack_stacked(wire), stacked_template(wire),
                 getattr(batch, 'inv_recv_perm', None) is not None)
 
-    import os
-    # Device-resident library (data/device_dataset.py): the whole
-    # featurised library ships to HBM once (the sizing pass above
-    # already memory-cached every item), and each batch dispatch ships
-    # only item ids — the multi-MB per-batch wire puts disappear from
-    # the scoring loop. POINTVS_SCREEN_DEVICE=0 restores the wire path.
-    dd_store = None
-    dd_chunk = None   # (host_store, chunk_budget_bytes): chunked path
-    if (os.environ.get('POINTVS_SCREEN_DEVICE', '1') == '1'
-            and os.environ.get('POINTVS_SCREEN_SCAN', '0') != '1'
-            and getattr(trainer, 'graph_shard', 1) <= 1):
-        from pointvs_tpu.data.device_dataset import (
-            DeviceGraphStore, build_host_store, store_eligibility)
-        budget = float(os.environ.get('POINTVS_DD_BUDGET_MB',
-                                      '2048')) * 1e6
-        # Chunked scoring: libraries that outgrow the HBM budget stream
-        # through it in compact packed shards (device_dataset.pack_chunk/
-        # expand_chunk) while the device scores; POINTVS_SCREEN_CHUNK_MB
-        # forces a chunk size for any library.
-        chunk_mb = float(os.environ.get('POINTVS_SCREEN_CHUNK_MB', '0'))
-        if store_eligibility(dl.dataset) is None:
-            host = build_host_store(dl.dataset)
-            if host.nbytes <= budget and not chunk_mb:
-                # pad_shapes: bucket the uploaded extents so similar-size
-                # libraries reuse one compiled program and the pre-warm
-                # sidecar (below) can predict the shapes cold.
-                dd_store = DeviceGraphStore(host, trainer.mesh,
-                                            pad_shapes=True)
-                dl.enable_device_dataset(dd_store)
-            elif trainer.num_devices == 1:
-                dd_chunk = (host, (chunk_mb * 1e6) or budget)
-            else:
-                LOG.info('library exceeds the HBM budget and chunked '
-                         'scoring is single-device; falling back to the '
-                         'streaming wire path')
     if dd_store is not None and trainer.num_devices == 1 and \
             os.environ.get('POINTVS_SCREEN_ONESHOT', '0') == '1':
         # One-shot mega-batches: re-batch the library into the fewest
@@ -358,22 +388,59 @@ def screen(model_path, receptor, ligands, output='screen_results.csv',
         queue on the device timeline between execs; the host packs the
         next chunk while the device scores the current one."""
         import jax
-        from pointvs_tpu.data.buckets import BatchMeta
+        from pointvs_tpu.data.loader import BatchMeta
         from pointvs_tpu.data.device_dataset import (
             DeviceCollateSpec, batch_row_cap, expand_chunk, pack_chunk,
             plan_chunks)
         from pointvs_tpu.parallel.mesh import shard_batch
-        ranges, cspec = plan_chunks(host, chunk_budget)
+        ranges, cspec = plan_chunks(
+            host, chunk_budget,
+            raw=os.environ.get('POINTVS_SCREEN_CHUNK_RAW', '1') == '1')
         LOG.info(f'Chunked screen: {len(ranges)} chunks of <= '
                  f'{cspec.items} poses ({cspec.n_fix} nodes x '
                  f'{cspec.eh_fix} {"half-" if cspec.half else ""}edge '
                  f'slots each)')
         expand = jax.jit(lambda p: expand_chunk(p, cspec))
         n_items = len(host.num_nodes)
+        # BUDGET batching: fill each batch with contiguous poses until
+        # the (n_fix, e_fix) bucket is full, instead of a fixed pose
+        # count. With one pinned bucket over a size-sorted library,
+        # fixed-count batches at the small-pose end pay the largest
+        # batch's padding (measured 1.85x padded edge work at a 100k
+        # library with 3x pose-size spread); budget batches keep every
+        # execution ~full. num_graphs caps at POINTVS_SCREEN_MAX_BS so
+        # graph-level one-hot work (pool/graphnorm) stays bounded.
+        nn_, ne_ = host.num_nodes, host.num_edges
+        max_bs = int(os.environ.get('POINTVS_SCREEN_MAX_BS',
+                                    str(per_dev * 4)))
+
+        def plan_batches(lo, hi):
+            spans = []
+            i = lo
+            while i < hi:
+                n = e = 0
+                j = i
+                while (j < hi and j - i < max_bs
+                       and n + nn_[j] <= n_fix and e + ne_[j] <= e_fix):
+                    n += int(nn_[j])
+                    e += int(ne_[j])
+                    j += 1
+                if j == i:
+                    j = i + 1   # single oversize item (cannot happen:
+                    #             the bucket covers every per_dev batch)
+                spans.append((i, j))
+                i = j
+            return spans
+
+        chunk_spans = {r: plan_batches(*r) for r in ranges}
+        num_graphs = max(j - i for spans in chunk_spans.values()
+                         for i, j in spans)
         # One sticky scatter cap for the whole screen (one program).
-        cap = max(batch_row_cap(
-            host, np.arange(lo, min(lo + per_dev, n_items)), n_fix)
-            for lo in range(0, n_items, per_dev))
+        cap = max(batch_row_cap(host, np.arange(i, j), n_fix)
+                  for spans in chunk_spans.values() for i, j in spans)
+        n_batches = sum(len(v) for v in chunk_spans.values())
+        LOG.info(f'Chunked screen: {n_batches} budget batches '
+                 f'(<= {num_graphs} poses each), scatter cap {cap}')
         live = []                  # keep chunk arrays until drain
         stack_cache = {}
 
@@ -386,21 +453,23 @@ def screen(model_path, receptor, ligands, output='screen_results.csv',
                     lambda *xs: jax.numpy.stack(xs))
             return stack_cache[len(outs)](*outs)
 
+        spec = DeviceCollateSpec(
+            n_pad=n_fix, e_pad=e_fix, num_graphs=num_graphs,
+            symmetric=host.symmetric, rotate=False)
         for lo, hi in ranges:
+            t0 = time.perf_counter()
             packed = pack_chunk(host, lo, hi, cspec)
+            t1 = time.perf_counter()
             arrays = expand(jax.device_put(packed))
             live.append(arrays)
+            t2 = time.perf_counter()
             outs, metas = [], []
-            for b_lo in range(lo, hi, per_dev):
-                b_hi = min(b_lo + per_dev, hi)
-                ids = np.full((1, per_dev), -1, np.int32)
+            for b_lo, b_hi in chunk_spans[(lo, hi)]:
+                ids = np.full((1, num_graphs), -1, np.int32)
                 ids[0, :b_hi - b_lo] = np.arange(b_lo - lo, b_hi - lo)
-                spec = DeviceCollateSpec(
-                    n_pad=n_fix, e_pad=e_fix, num_graphs=per_dev,
-                    symmetric=host.symmetric, rotate=False)
                 meta = BatchMeta(host.lig_fnames[b_lo:b_hi],
                                  host.rec_fnames[b_lo:b_hi])
-                gm = np.zeros((1, per_dev), np.float32)
+                gm = np.zeros((1, num_graphs), np.float32)
                 gm[0, :b_hi - b_lo] = 1.0
                 meta.graph_mask = gm
                 batch_dev = ('ids', shard_batch(ids, trainer.mesh),
@@ -408,6 +477,11 @@ def screen(model_path, receptor, ligands, output='screen_results.csv',
                 outs.append(eval_fn(trainer.params, batch_dev, cap=cap))
                 metas.append(meta)
             in_flight.append(('scan', stacked(outs), len(outs), metas))
+            if _dbg:
+                LOG.info(f'chunk [{lo},{hi}): pack {t1-t0:.2f}s '
+                         f'put+expand {t2-t1:.2f}s dispatch '
+                         f'{time.perf_counter()-t2:.2f}s '
+                         f'x{len(outs)} batches')
         return live
 
     _chunk_live = None

@@ -403,14 +403,17 @@ def test_chunk_codec_bit_exact(dataset, host_store):
 
     ranges, spec = plan_chunks(host_store,
                                budget_bytes=host_store.nbytes / 2 + 1)
-    assert len(ranges) >= 2
-    specs = [spec]
-    if spec.half:   # also pin the full-list codec on the same data
+    assert len(ranges) >= 2 and spec.raw
+    full_e = int(max(host_store.arrays.edge_start[hi]
+                     - host_store.arrays.edge_start[lo]
+                     for lo, hi in ranges))
+    specs = [spec]   # raw (default: full lists + rperm, no device sorts)
+    if host_store.symmetric:   # the symmetric-HALF reconstruction codec
         specs.append(spec._replace(
-            half=False,
-            eh_fix=int(max(host_store.arrays.edge_start[hi]
-                           - host_store.arrays.edge_start[lo]
-                           for lo, hi in ranges))))
+            raw=False, half=True,
+            eh_fix=-(-(full_e // 2) // 4) * 4))
+    # full-list codec (rperm recomputed by one device argsort)
+    specs.append(spec._replace(raw=False, half=False, eh_fix=full_e))
     a = host_store.arrays
     for sp in specs:
         expand = jax.jit(lambda p: expand_chunk(p, sp))

@@ -26,7 +26,7 @@ def test_fast_path_matches_pandas_path(monkeypatch):
     import pointvs_tpu.data.dataset as dsmod
     orig = PointCloudDataset._build_struct
 
-    def pandas_build(self, lig, rec, aug_angle):
+    def pandas_build(self, lig, rec, aug_angle, rng=None):
         from pointvs_tpu.data import fast_structs as fs
         from pointvs_tpu.data.preprocessing import concat_structs, make_box
         struct = make_box(
