@@ -741,9 +741,11 @@ def plan_chunks(host: HostStore, budget_bytes: float, raw: bool = True):
     n_fix = -(-n_fix // 8) * 8
     if raw:
         eh_fix = -(-e_fix // 4) * 4
+        # In raw mode ``half`` records store SYMMETRY (receivers then
+        # ship implicitly as senders[rperm], the mirror involution).
         return ranges, StoreChunkSpec(
             items=items, n_fix=n_fix, eh_fix=eh_fix, feat_dim=feat_dim,
-            half=False, raw=True)
+            half=host.symmetric, raw=True)
     eh_fix = -(-(e_fix // 2) // 4) * 4 if host.symmetric else e_fix
     return ranges, StoreChunkSpec(items=items, n_fix=n_fix, eh_fix=eh_fix,
                                   feat_dim=feat_dim, half=host.symmetric)
@@ -784,20 +786,25 @@ def pack_chunk(host: HostStore, lo: int, hi: int, spec: StoreChunkSpec):
     ec = a.eclass[e_lo:e_hi]
     if spec.raw:
         # Full lists + rperm, smallest lossless dtypes, classes 2-bit:
-        # no device-side reconstruction at all.
+        # no device-side reconstruction. For SYMMETRIC stores receivers
+        # ship implicitly: rperm is the mirror involution, so
+        # receivers[k] == senders[rperm[k]] — one device gather replaces
+        # 2 bytes/edge of wire.
         fs = np.zeros(spec.eh_fix, a.senders.dtype)
-        fr = np.zeros(spec.eh_fix, a.receivers.dtype)
         fp = np.zeros(spec.eh_fix, a.rperm.dtype)
         fc = np.full(spec.eh_fix, 3, np.uint8)
         fs[:e] = a.senders[e_lo:e_hi]
-        fr[:e] = a.receivers[e_lo:e_hi]
         fp[:e] = a.rperm[e_lo:e_hi]
         fc[:e] = ec
         e4 = fc.reshape(-1, 4)
         class_bits = (e4[:, 0] | (e4[:, 1] << 2) | (e4[:, 2] << 4)
                       | (e4[:, 3] << 6)).astype(np.uint8)
-        edges = {'raw_senders': fs, 'raw_receivers': fr, 'raw_rperm': fp,
+        edges = {'raw_senders': fs, 'raw_rperm': fp,
                  'raw_class_bits': class_bits}
+        if not spec.half:   # half==symmetric flag reused: see plan_chunks
+            fr = np.zeros(spec.eh_fix, a.receivers.dtype)
+            fr[:e] = a.receivers[e_lo:e_hi]
+            edges['raw_receivers'] = fr
     elif spec.half:
         keep = s < r                 # per-item lex order is preserved
         hs, hr, hc = s[keep], r[keep], ec[keep]
@@ -854,11 +861,22 @@ def expand_chunk(packed: dict, spec: StoreChunkSpec) -> DeviceStoreArrays:
         pos = jnp.arange(eh, dtype=jnp.int32)
         bc = packed['raw_class_bits']
         eclass = ((bc[pos // 4] >> (2 * (pos % 4))) & 3).astype(jnp.uint8)
+        senders = packed['raw_senders'].astype(jnp.int32)
+        rperm = packed['raw_rperm'].astype(jnp.int32)
+        if 'raw_receivers' in packed:
+            receivers = packed['raw_receivers'].astype(jnp.int32)
+        else:
+            # Symmetric store: receivers[k] = senders[mirror(k)], with
+            # rperm the (item-local) mirror involution.
+            item_e = jnp.clip(jnp.searchsorted(
+                edge_start.astype(jnp.int32), pos, side='right'
+            ).astype(jnp.int32) - 1, 0, spec.items - 1)
+            receivers = senders[
+                jnp.clip(rperm + edge_start[item_e], 0, eh - 1)]
         return DeviceStoreArrays(
             feats=feats, coords=packed['coords'],
-            senders=packed['raw_senders'].astype(jnp.int32),
-            receivers=packed['raw_receivers'].astype(jnp.int32),
-            rperm=packed['raw_rperm'].astype(jnp.int32), eclass=eclass,
+            senders=senders, receivers=receivers,
+            rperm=rperm, eclass=eclass,
             node_start=node_start, edge_start=edge_start,
             node_len=packed['node_len'], edge_len=packed['edge_len'],
             y=packed['y'], strain=packed['strain'])

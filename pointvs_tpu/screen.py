@@ -413,6 +413,19 @@ def screen(model_path, receptor, ligands, output='screen_results.csv',
         nn_, ne_ = host.num_nodes, host.num_edges
         max_bs = int(os.environ.get('POINTVS_SCREEN_MAX_BS',
                                     str(per_dev * 4)))
+        # Per-execution bucket: measured per-EDGE eval cost grows with
+        # bucket size (3.81 M edges/s at 150k-edge buckets vs 1.81 at
+        # 600k — graph-level one-hot work scales with batch size and
+        # edge intermediates fall out of fast memory), so executions use
+        # a mid-size bucket independent of the library batch_size.
+        # Clamped up to cover the largest single pose.
+        e_bud = int(os.environ.get('POINTVS_SCREEN_EDGE_BUDGET',
+                                   '131072'))
+        e_bud = max(e_bud, int(ne_.max(initial=1)))
+        n_bud = max(int(e_bud * (nn_.sum() / max(ne_.sum(), 1)) * 1.4),
+                    int(nn_.max(initial=1)))
+        n_bud = -(-n_bud // 256) * 256
+        e_bud = -(-e_bud // 256) * 256
 
         def plan_batches(lo, hi):
             spans = []
@@ -421,13 +434,13 @@ def screen(model_path, receptor, ligands, output='screen_results.csv',
                 n = e = 0
                 j = i
                 while (j < hi and j - i < max_bs
-                       and n + nn_[j] <= n_fix and e + ne_[j] <= e_fix):
+                       and n + nn_[j] <= n_bud and e + ne_[j] <= e_bud):
                     n += int(nn_[j])
                     e += int(ne_[j])
                     j += 1
                 if j == i:
-                    j = i + 1   # single oversize item (cannot happen:
-                    #             the bucket covers every per_dev batch)
+                    j = i + 1   # single oversize item (n_bud/e_bud are
+                    #             clamped to cover every pose)
                 spans.append((i, j))
                 i = j
             return spans
@@ -436,25 +449,31 @@ def screen(model_path, receptor, ligands, output='screen_results.csv',
         num_graphs = max(j - i for spans in chunk_spans.values()
                          for i, j in spans)
         # One sticky scatter cap for the whole screen (one program).
-        cap = max(batch_row_cap(host, np.arange(i, j), n_fix)
+        cap = max(batch_row_cap(host, np.arange(i, j), n_bud)
                   for spans in chunk_spans.values() for i, j in spans)
         n_batches = sum(len(v) for v in chunk_spans.values())
         LOG.info(f'Chunked screen: {n_batches} budget batches '
                  f'(<= {num_graphs} poses each), scatter cap {cap}')
         live = []                  # keep chunk arrays until drain
         stack_cache = {}
+        STACK_G = 32   # fixed stack arity: ONE compiled concat program
+        #                (variable-arity stacks compiled one program per
+        #                distinct batch count — minutes each remotely)
 
         def stacked(outs):
-            # ONE D2H buffer per chunk: individual logit fetches cost a
-            # tunnel round trip each (~0.1-0.5 s), which would dominate
-            # the drain at library scale (hundreds of batches).
-            if len(outs) not in stack_cache:
-                stack_cache[len(outs)] = jax.jit(
+            # Group D2H buffers: individual logit fetches cost a tunnel
+            # round trip each (~0.1-0.5 s), which would dominate the
+            # drain at library scale (hundreds of batches). Short
+            # groups pad by repeating the last buffer.
+            n = len(outs)
+            outs = outs + [outs[-1]] * (STACK_G - n)
+            if STACK_G not in stack_cache:
+                stack_cache[STACK_G] = jax.jit(
                     lambda *xs: jax.numpy.stack(xs))
-            return stack_cache[len(outs)](*outs)
+            return stack_cache[STACK_G](*outs)
 
         spec = DeviceCollateSpec(
-            n_pad=n_fix, e_pad=e_fix, num_graphs=num_graphs,
+            n_pad=n_bud, e_pad=e_bud, num_graphs=num_graphs,
             symmetric=host.symmetric, rotate=False)
         for lo, hi in ranges:
             t0 = time.perf_counter()
@@ -464,6 +483,7 @@ def screen(model_path, receptor, ligands, output='screen_results.csv',
             live.append(arrays)
             t2 = time.perf_counter()
             outs, metas = [], []
+            n_disp = 0
             for b_lo, b_hi in chunk_spans[(lo, hi)]:
                 ids = np.full((1, num_graphs), -1, np.int32)
                 ids[0, :b_hi - b_lo] = np.arange(b_lo - lo, b_hi - lo)
@@ -476,12 +496,19 @@ def screen(model_path, receptor, ligands, output='screen_results.csv',
                              arrays, spec)
                 outs.append(eval_fn(trainer.params, batch_dev, cap=cap))
                 metas.append(meta)
-            in_flight.append(('scan', stacked(outs), len(outs), metas))
+                n_disp += 1
+                if len(outs) == STACK_G:
+                    in_flight.append(('scan', stacked(outs), len(outs),
+                                      metas))
+                    outs, metas = [], []
+            if outs:
+                in_flight.append(('scan', stacked(outs), len(outs),
+                                  metas))
             if _dbg:
                 LOG.info(f'chunk [{lo},{hi}): pack {t1-t0:.2f}s '
                          f'put+expand {t2-t1:.2f}s dispatch '
                          f'{time.perf_counter()-t2:.2f}s '
-                         f'x{len(outs)} batches')
+                         f'x{n_disp} batches')
         return live
 
     _chunk_live = None
@@ -566,14 +593,21 @@ def screen(model_path, receptor, ligands, output='screen_results.csv',
         # amortises to nothing. Re-run the dispatch+drain loop on the
         # cached device-resident batches (byte-identical scores) and
         # report the steady-state rate the TPU sustains.
+        import jax
+        stack32 = jax.jit(lambda *xs: jax.numpy.stack(xs))
         steady = float('inf')
         for _ in range(repeat - 1):
             t0 = time.perf_counter()
             outs = [eval_fn(trainer.params, dev, **kw)
                     for dev, kw in ids_batches]
+            # Group fetches 32-up: per-buffer D2H round trips (~0.1-0.5
+            # s each) would dominate at library scale.
+            grouped = [stack32(*(outs[i:i + 32]
+                                 + [outs[-1]] * (32 - len(outs[i:i + 32]))))
+                       for i in range(0, len(outs), 32)]
             with ThreadPoolExecutor(
-                    max_workers=min(8, len(outs))) as ex:
-                list(ex.map(np.asarray, outs))
+                    max_workers=min(8, len(grouped))) as ex:
+                list(ex.map(np.asarray, grouped))
             steady = min(steady, time.perf_counter() - t0)
         LOG.info(f'Steady state: {len(rows)} poses in {steady:.2f}s '
                  f'({len(rows) / steady:.0f} poses/s sustained)')
