@@ -265,6 +265,34 @@ class PointCloudDataset:
         """Advance the augmented-active rotation stream (see __init__)."""
         self._aug_epoch = int(epoch)
 
+    def aug_item(self, item: int, epoch: int) -> 'GraphSample':
+        """Augmented item featurised for an EXPLICIT epoch, without the
+        whole-complex rotation — exactly what ``__getitem__`` yields with
+        rot disabled and ``set_epoch(epoch)``. Thread-safe (no shared rng
+        draws, no cache writes: aug items bypass every cache), so the
+        hybrid device store can prefetch the NEXT epoch's aug graphs in a
+        background thread while the current epoch trains."""
+        lig_fname, rec_fname, lig_str, rec_str = self._paths_for_cached(
+            item)
+        ss = np.random.SeedSequence(
+            [int(self.seed) & 0x7fffffff, int(epoch), int(item)])
+        rng = np.random.RandomState(int(ss.generate_state(1)[0]))
+        struct, rows, cols, attrs, rperm = self._build_graph(
+            lig_fname, rec_fname, self.augmented_active_min_angle,
+            rng=rng)
+        coords = np.stack([struct['x'], struct['y'], struct['z']],
+                          axis=1).astype(np.float32)
+        feats = make_bit_vector(struct['types'], self.n_features,
+                                self.compact).astype(np.float32)
+        return GraphSample(
+            node_feats=feats, coords=coords,
+            senders=np.asarray(rows, dtype=np.int32),
+            receivers=np.asarray(cols, dtype=np.int32),
+            edge_attr=np.asarray(attrs, dtype=np.float32),
+            y=np.float32(0),   # augmented actives are labelled decoy
+            lig_fname=lig_str, rec_fname=rec_str,
+            recv_perm=np.asarray(rperm, dtype=np.int32))
+
     def _aug_rng(self, item: int) -> np.random.RandomState:
         """Per-(seed, epoch, item) rng for augmented-active rotations."""
         ss = np.random.SeedSequence(

@@ -374,12 +374,14 @@ def build_host_store(dataset) -> HostStore:
         aug_spills=[0])
 
 
-def refresh_augmented(host: HostStore, dataset, epoch: int):
+def refresh_augmented(host: HostStore, dataset, epoch: int,
+                      samples=None):
     """Re-featurise the augmented tail for ``epoch`` IN PLACE (host
     arrays) and return the tail slices for the device update, or None
     when there is nothing to do. Rotations derive from
     (seed, epoch, item) inside the dataset, so the graphs equal what the
-    streaming path would draw for the same epoch."""
+    streaming path would draw for the same epoch. ``samples`` (from the
+    background prefetch) skips the featurise pass."""
     n_items = len(host.num_nodes)
     if host.aug_from >= n_items or host.aug_epoch[0] == int(epoch):
         return None
@@ -390,7 +392,8 @@ def refresh_augmented(host: HostStore, dataset, epoch: int):
     arrays = host.arrays
     spills = 0
     for i in range(host.aug_from, n_items):
-        s = _norot_getitem(dataset, i)
+        s = (samples[i - host.aug_from] if samples is not None
+             else _norot_getitem(dataset, i))
         if (s.num_nodes > int(arrays.node_start[i + 1]
                               - arrays.node_start[i])
                 or s.num_edges > int(arrays.edge_start[i + 1]
@@ -488,13 +491,51 @@ class DeviceGraphStore:
             else host.arrays
         self.arrays = replicate(arrays, mesh)
         self._updater = None
+        self._prefetch = None   # (epoch, thread, result box)
+
+    def prefetch_refresh(self, dataset, epoch: int) -> None:
+        """Featurise epoch ``epoch``'s augmented graphs in a BACKGROUND
+        thread (rotations are deterministic per (seed, epoch, item), so
+        the next epoch's graphs are known in advance) — the streaming
+        path hides aug featurisation behind device compute in its
+        producer thread, and without this the hybrid path paid it
+        serially at every epoch boundary (measured: it lost the aug e2e
+        A/B for short epochs)."""
+        import threading
+        n_items = len(self.host.num_nodes)
+        if (self.host.aug_from >= n_items
+                or self.host.aug_epoch[0] == int(epoch)
+                or not hasattr(dataset, 'aug_item')
+                or self._prefetch is not None):
+            return
+        box = {}
+
+        def work():
+            try:
+                box['samples'] = [dataset.aug_item(i, int(epoch))
+                                  for i in range(self.host.aug_from,
+                                                 n_items)]
+            except Exception as exc:   # fall back to the sync path
+                box['error'] = exc
+
+        t = threading.Thread(target=work, daemon=True)
+        t.start()
+        self._prefetch = (int(epoch), t, box)
 
     def refresh(self, dataset, epoch: int) -> None:
         """Hybrid mode: re-featurise the augmented tail for ``epoch`` and
         patch it into HBM with one donated dynamic_update_slice program
         (offsets are static — the slot layout never changes — so the one
         compiled updater serves every epoch)."""
-        tail = refresh_augmented(self.host, dataset, epoch)
+        samples = None
+        if self._prefetch is not None:
+            pf_epoch, t, box = self._prefetch
+            self._prefetch = None
+            if pf_epoch == int(epoch):
+                t.join()
+                samples = box.get('samples')
+        tail = refresh_augmented(self.host, dataset, epoch,
+                                 samples=samples)
         if tail is None:
             return
         import jax

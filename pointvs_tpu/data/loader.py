@@ -508,6 +508,10 @@ class GraphDataLoader:
             refresh = getattr(self.device_store, 'refresh', None)
             if refresh is not None:
                 refresh(self.dataset, epoch)
+                # Featurise NEXT epoch's aug graphs while this one
+                # trains (rotations are deterministic per epoch).
+                self.device_store.prefetch_refresh(self.dataset,
+                                                   epoch + 1)
         # Deterministic loaders cache HOST batches; the device transfer is
         # re-applied per pass (the async device_put still pipelines ahead
         # of the consumer).

@@ -329,6 +329,45 @@ def test_hybrid_store_refresh_matches_streaming():
         prev_aug_coords = aug_coords
 
 
+def test_hybrid_prefetch_refresh_matches_sync():
+    """aug_item (the thread-safe explicit-epoch featuriser the background
+    prefetch uses) is bit-identical to the sync set_epoch path, and a
+    store refreshed via a consumed prefetch equals one refreshed
+    synchronously."""
+    from pointvs_tpu.data.device_dataset import (DeviceGraphStore,
+                                                 _norot_getitem)
+    from pointvs_tpu.parallel.mesh import get_mesh
+
+    ds = _aug_dataset()
+    for epoch in (0, 3):
+        ds.set_epoch(epoch)
+        for i in range(ds.pre_aug_ds_len, len(ds)):
+            a = ds.aug_item(i, epoch)
+            b = _norot_getitem(ds, i)
+            np.testing.assert_array_equal(a.node_feats, b.node_feats)
+            np.testing.assert_array_equal(a.coords, b.coords)
+            np.testing.assert_array_equal(a.senders, b.senders)
+            np.testing.assert_array_equal(a.receivers, b.receivers)
+            np.testing.assert_array_equal(a.edge_attr, b.edge_attr)
+            np.testing.assert_array_equal(a.recv_perm, b.recv_perm)
+            assert float(a.y) == float(b.y) == 0.0
+            assert (a.lig_fname, a.rec_fname) == (b.lig_fname, b.rec_fname)
+    ds.set_epoch(0)
+
+    sync_ds, pf_ds = _aug_dataset(), _aug_dataset()
+    sync = DeviceGraphStore(build_host_store(sync_ds), get_mesh(1))
+    pf = DeviceGraphStore(build_host_store(pf_ds), get_mesh(1))
+    pf.prefetch_refresh(pf_ds, 1)
+    assert pf._prefetch is not None
+    sync.refresh(sync_ds, 1)
+    pf.refresh(pf_ds, 1)          # consumes the prefetched samples
+    assert pf._prefetch is None
+    for name in sync.host.arrays._fields:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(pf.arrays, name)),
+            np.asarray(getattr(sync.arrays, name)), err_msg=name)
+
+
 def test_hybrid_loader_ids_mode_matches_streaming():
     """Two epochs through REAL loaders: the hybrid ids-mode loader and
     the streaming loader see identical batches (same buckets, metadata
