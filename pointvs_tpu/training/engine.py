@@ -356,6 +356,21 @@ class Trainer:
                          f'{budget / 1e6:.0f} MB budget '
                          f'(POINTVS_DD_BUDGET_MB)')
                 return
+            # 'auto' preference threshold, separate from the hard budget:
+            # measured at HEAD (BASELINE.md r4), the device store wins
+            # where the set is HBM-hot and small (320 items / 15 MB:
+            # 1,632 vs 1,087 g/s) but LOSES to the overlapped streaming
+            # wire at 1 GB scale (990 vs 1,259 g/s — the on-device
+            # collate pays real gather time over a large store every
+            # step). --device_cache on still forces it.
+            auto_mb = float(os.environ.get('POINTVS_DD_AUTO_MB', '512'))
+            if per_item * n > auto_mb * 1e6 and not demanded:
+                LOG.info(f'Device-resident dataset not auto-enabled: '
+                         f'estimated {per_item * n / 1e6:.0f} MB > '
+                         f'{auto_mb:.0f} MB (POINTVS_DD_AUTO_MB) — '
+                         f'streaming measured faster at this scale; '
+                         f'--device_cache on overrides')
+                return
             host = build_host_store(loader.dataset)
             if host.nbytes > budget and not demanded:
                 LOG.info(f'Device-resident dataset disabled: '

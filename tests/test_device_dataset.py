@@ -240,6 +240,38 @@ def test_loader_ids_mode_matches_streaming(dataset, host_store):
             _assert_batch_equal(dev, host_d)
 
 
+def test_auto_preference_threshold(dataset, monkeypatch):
+    """'auto' prefers streaming above POINTVS_DD_AUTO_MB (measured: the
+    device store loses to the overlapped wire at ~1 GB scale, BASELINE
+    r4) but --device_cache on still forces the store, and small sets
+    auto-enable as before."""
+    from types import SimpleNamespace
+    from pointvs_tpu.data.loader import GraphDataLoader
+    from pointvs_tpu.parallel.mesh import get_mesh
+    from pointvs_tpu.training.engine import Trainer
+
+    def trainer_like(mode):
+        return SimpleNamespace(device_cache=mode, graph_shard=1,
+                               _device_stores={}, mesh=get_mesh(1))
+
+    def loader():
+        return GraphDataLoader(dataset, batch_size=2, mode='train',
+                               num_devices=1, prefetch=0, seed=3)
+
+    enable = Trainer._maybe_enable_device_dataset
+    monkeypatch.setenv('POINTVS_DD_AUTO_MB', '0.0001')
+    dl = loader()
+    enable(trainer_like('auto'), dl)
+    assert dl.device_store is None          # auto defers to streaming
+    dl = loader()
+    enable(trainer_like('on'), dl)
+    assert dl.device_store is not None      # explicit on overrides
+    monkeypatch.delenv('POINTVS_DD_AUTO_MB')
+    dl = loader()
+    enable(trainer_like('auto'), dl)
+    assert dl.device_store is not None      # small set still auto-enables
+
+
 def test_cli_device_cache_parity(tmp_path):
     """--device_cache on vs off: identical sampling, near-identical
     training (the only difference is XLA fusion boundaries around the
