@@ -276,8 +276,17 @@ def bench_tpu(samples, ds):
     # jitted step collates on device — the product's default for
     # HBM-fitting datasets (--device_cache auto), so it is the headline
     # e2e configuration; the streaming number is reported alongside.
+    def _fresh_state():
+        # Fresh device param/opt arrays per e2e section: sections compile
+        # different programs over the same trees, and sharing one set of
+        # buffers couples their layouts (DEVELOPMENT.md round-1 layout
+        # ping-pong gotcha) — the standalone A/B harness that measures
+        # each path from fresh arrays is the reproducible reference.
+        host_p = jax.tree.map(np.asarray, params)
+        host_o = jax.tree.map(np.asarray, opt_state)
+        return replicate(host_p, mesh), replicate(host_o, mesh)
+
     def _e2e_device_resident():
-        nonlocal params, opt_state
         from pointvs_tpu.data.device_dataset import (DeviceGraphStore,
                                                      build_host_store)
         store = DeviceGraphStore(build_host_store(e2e_ds), mesh)
@@ -292,7 +301,8 @@ def bench_tpu(samples, ds):
             return ('ids', shard_batch(ids, mesh), st.arrays, spec)
 
         dd_loader.transfer_fn = ids_to_device
-        tput, params, opt_state = measure_e2e(dd_loader, params, opt_state)
+        p, o = _fresh_state()
+        tput, _, _ = measure_e2e(dd_loader, p, o)
         return tput
 
     e2e_dd = _secondary(_e2e_device_resident)
@@ -304,7 +314,6 @@ def bench_tpu(samples, ds):
     # (data/device_dataset.py refresh). Measured against the same
     # config's streaming path.
     def _e2e_aug(device_resident: bool):
-        nonlocal params, opt_state
         from pointvs_tpu.data.dataset import PointCloudDataset
         aug_ds = PointCloudDataset(
             DATA_ROOT, radius=10, polar_hydrogens=False, compact=False,
@@ -312,12 +321,39 @@ def bench_tpu(samples, ds):
             edge_radius=4.0, model_task='classification',
             cache_dir=CACHE_DIR, augmented_active_count=10,
             augmented_active_min_angle=90)
-        # Aug graphs vary in size (ligand rotates about the origin, ref
-        # preprocessing.py:52-53): wider pinned buckets.
+        # Aug graphs vary in size per epoch (the ligand rotates about the
+        # origin, ref preprocessing.py:52-53), so probe the REALISED
+        # batch compositions over a few epochs of the same seeded stream
+        # (aug_item featurises any (item, epoch) deterministically) and
+        # pad 1.25x — a blanket 1.6x over the e2e bucket measured ~33%
+        # slow purely from padded pool/GraphNorm work and inverted the
+        # stream-vs-resident ordering vs the tight-bucket A/B.
+        probe_dl = GraphDataLoader(aug_ds, batch_size=N_GRAPHS,
+                                   mode='train', num_devices=1,
+                                   prefetch=0, seed=7)
+        base_sizes = {}
+
+        def item_size(i, ep):
+            if i < aug_ds.pre_aug_ds_len:
+                if i not in base_sizes:
+                    s = aug_ds[int(i)]
+                    base_sizes[i] = (s.num_nodes, s.num_edges)
+                return base_sizes[i]
+            s = aug_ds.aug_item(int(i), ep)
+            return s.num_nodes, s.num_edges
+
+        amax_n = amax_e = 0
+        for ep in range(3):
+            idx = probe_dl._epoch_indices()
+            for lo in range(0, len(idx) - N_GRAPHS + 1, N_GRAPHS):
+                szs = [item_size(int(i), ep)
+                       for i in idx[lo:lo + N_GRAPHS]]
+                amax_n = max(amax_n, sum(s[0] for s in szs))
+                amax_e = max(amax_e, sum(s[1] for s in szs))
         kw = dict(batch_size=N_GRAPHS, mode='train', num_devices=1,
                   prefetch=3, seed=7, drop_last=True,
-                  node_buckets=(int(np.ceil(n_fix * 1.6 / 256) * 256),),
-                  edge_buckets=(int(np.ceil(e_fix * 1.6 / 256) * 256),))
+                  node_buckets=(int(np.ceil(amax_n * 1.25 / 256) * 256),),
+                  edge_buckets=(int(np.ceil(amax_e * 1.25 / 256) * 256),))
         aug_loader = GraphDataLoader(aug_ds, **kw)
         if device_resident:
             from pointvs_tpu.data.device_dataset import (DeviceGraphStore,
@@ -332,8 +368,8 @@ def bench_tpu(samples, ds):
             aug_loader.transfer_fn = ids_to_device
         else:
             aug_loader.transfer_fn = to_device
-        tput, params, opt_state = measure_e2e(aug_loader, params,
-                                              opt_state)
+        p, o = _fresh_state()
+        tput, _, _ = measure_e2e(aug_loader, p, o)
         return tput
 
     e2e_aug_stream = _secondary(lambda: _e2e_aug(False))
