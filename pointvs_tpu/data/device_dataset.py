@@ -751,6 +751,15 @@ class StoreChunkSpec(NamedTuple):
     # 28M-element TPU argsorts) + a multi-minute first compile, far more
     # than the extra upload seconds; raw is the default for screening.
     raw: bool = False
+    # degrees: senders ship as per-node out-degree counts (2 B/node)
+    # instead of the explicit per-edge list (2 B/edge, ~11x more at
+    # typical mean degree) — edges are lex-sorted per item, so senders
+    # are a run-length expansion. Device decode is one cumsum over the
+    # node slots + one searchsorted of edge positions into the offsets
+    # (the same primitive the raw-symmetric receiver decode already
+    # uses at this size) — still ZERO device sorts. Cuts chunk upload
+    # ~30% on the tunnel-upload-bound single-pass screen.
+    degrees: bool = False
 
 
 def plan_chunks(host: HostStore, budget_bytes: float, raw: bool = True):
@@ -758,11 +767,14 @@ def plan_chunks(host: HostStore, budget_bytes: float, raw: bool = True):
     fit ``budget_bytes``, plus the fixed chunk shapes."""
     if host.aug_from < len(host.num_nodes):
         raise ValueError('chunked stores do not support augmented tails')
+    import os
     ns, es = host.arrays.node_start, host.arrays.edge_start
     feat_dim = host.arrays.feats.shape[1]
-    per_node = feat_dim + 12
+    degrees = raw and os.environ.get('POINTVS_CHUNK_DEGREES', '1') != '0'
+    per_node = feat_dim + 12 + (2 if degrees else 0)
     per_edge = (host.arrays.senders.itemsize * 2
-                + host.arrays.rperm.itemsize + 1)
+                + host.arrays.rperm.itemsize + 1
+                - (host.arrays.senders.itemsize if degrees else 0))
     n_items = len(host.num_nodes)
     ranges = []
     lo = 0
@@ -786,7 +798,7 @@ def plan_chunks(host: HostStore, budget_bytes: float, raw: bool = True):
         # ship implicitly as senders[rperm], the mirror involution).
         return ranges, StoreChunkSpec(
             items=items, n_fix=n_fix, eh_fix=eh_fix, feat_dim=feat_dim,
-            half=host.symmetric, raw=True)
+            half=host.symmetric, raw=True, degrees=degrees)
     eh_fix = -(-(e_fix // 2) // 4) * 4 if host.symmetric else e_fix
     return ranges, StoreChunkSpec(items=items, n_fix=n_fix, eh_fix=eh_fix,
                                   feat_dim=feat_dim, half=host.symmetric)
@@ -831,17 +843,34 @@ def pack_chunk(host: HostStore, lo: int, hi: int, spec: StoreChunkSpec):
         # ship implicitly: rperm is the mirror involution, so
         # receivers[k] == senders[rperm[k]] — one device gather replaces
         # 2 bytes/edge of wire.
-        fs = np.zeros(spec.eh_fix, a.senders.dtype)
         fp = np.zeros(spec.eh_fix, a.rperm.dtype)
         fc = np.full(spec.eh_fix, 3, np.uint8)
-        fs[:e] = a.senders[e_lo:e_hi]
         fp[:e] = a.rperm[e_lo:e_hi]
         fc[:e] = ec
         e4 = fc.reshape(-1, 4)
         class_bits = (e4[:, 0] | (e4[:, 1] << 2) | (e4[:, 2] << 4)
                       | (e4[:, 3] << 6)).astype(np.uint8)
-        edges = {'raw_senders': fs, 'raw_rperm': fp,
-                 'raw_class_bits': class_bits}
+        edges = {'raw_rperm': fp, 'raw_class_bits': class_bits}
+        if spec.degrees:
+            # Senders as per-(chunk-local)-node out-degrees: edges are
+            # lex-sorted per item, so the sender list is exactly the
+            # run-length expansion of these counts.
+            item_ids = np.repeat(np.arange(c),
+                                 np.diff(a.edge_start[lo:hi + 1]))
+            g_send = (a.senders[e_lo:e_hi].astype(np.int64)
+                      + (a.node_start[lo:hi].astype(np.int64)
+                         - n_lo)[item_ids])
+            deg = np.bincount(g_send, minlength=spec.n_fix)
+            if deg.max(initial=0) >= 65536:
+                raise ValueError(
+                    'node out-degree exceeds uint16; set '
+                    'POINTVS_CHUNK_DEGREES=0 for the explicit-senders '
+                    'chunk codec')
+            edges['raw_degrees'] = deg.astype(np.uint16)
+        else:
+            fs = np.zeros(spec.eh_fix, a.senders.dtype)
+            fs[:e] = a.senders[e_lo:e_hi]
+            edges['raw_senders'] = fs
         if not spec.half:   # half==symmetric flag reused: see plan_chunks
             fr = np.zeros(spec.eh_fix, a.receivers.dtype)
             fr[:e] = a.receivers[e_lo:e_hi]
@@ -902,16 +931,30 @@ def expand_chunk(packed: dict, spec: StoreChunkSpec) -> DeviceStoreArrays:
         pos = jnp.arange(eh, dtype=jnp.int32)
         bc = packed['raw_class_bits']
         eclass = ((bc[pos // 4] >> (2 * (pos % 4))) & 3).astype(jnp.uint8)
-        senders = packed['raw_senders'].astype(jnp.int32)
+        item_e = jnp.clip(jnp.searchsorted(
+            edge_start.astype(jnp.int32), pos, side='right'
+        ).astype(jnp.int32) - 1, 0, spec.items - 1)
+        if spec.degrees:
+            # Run-length expand the per-node out-degrees back into the
+            # item-local sender list: one cumsum + one searchsorted of
+            # edge positions into the node offsets (no sorts).
+            deg = packed['raw_degrees'].astype(jnp.int32)
+            offs = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                                    jnp.cumsum(deg)])
+            g_send = jnp.clip(jnp.searchsorted(
+                offs, pos, side='right').astype(jnp.int32) - 1,
+                0, spec.n_fix - 1)
+            senders = jnp.where(pos < packed['e_real'],
+                                g_send - node_start[item_e],
+                                0).astype(jnp.int32)
+        else:
+            senders = packed['raw_senders'].astype(jnp.int32)
         rperm = packed['raw_rperm'].astype(jnp.int32)
         if 'raw_receivers' in packed:
             receivers = packed['raw_receivers'].astype(jnp.int32)
         else:
             # Symmetric store: receivers[k] = senders[mirror(k)], with
             # rperm the (item-local) mirror involution.
-            item_e = jnp.clip(jnp.searchsorted(
-                edge_start.astype(jnp.int32), pos, side='right'
-            ).astype(jnp.int32) - 1, 0, spec.items - 1)
             receivers = senders[
                 jnp.clip(rperm + edge_start[item_e], 0, eh - 1)]
         return DeviceStoreArrays(

@@ -474,11 +474,12 @@ def test_chunk_codec_bit_exact(dataset, host_store):
 
     ranges, spec = plan_chunks(host_store,
                                budget_bytes=host_store.nbytes / 2 + 1)
-    assert len(ranges) >= 2 and spec.raw
+    assert len(ranges) >= 2 and spec.raw and spec.degrees
     full_e = int(max(host_store.arrays.edge_start[hi]
                      - host_store.arrays.edge_start[lo]
                      for lo, hi in ranges))
-    specs = [spec]   # raw (default: full lists + rperm, no device sorts)
+    # raw degree-encoded (default), raw explicit senders
+    specs = [spec, spec._replace(degrees=False)]
     if host_store.symmetric:   # the symmetric-HALF reconstruction codec
         specs.append(spec._replace(
             raw=False, half=True,
