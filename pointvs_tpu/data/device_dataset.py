@@ -770,7 +770,11 @@ def plan_chunks(host: HostStore, budget_bytes: float, raw: bool = True):
     import os
     ns, es = host.arrays.node_start, host.arrays.edge_start
     feat_dim = host.arrays.feats.shape[1]
-    degrees = raw and os.environ.get('POINTVS_CHUNK_DEGREES', '1') != '0'
+    # Degree counts ship as uint16; out-degree <= the item's edge count,
+    # so rperm fitting uint16 (every item < 65536 edges) guarantees no
+    # overflow — int32-rperm stores fall back to explicit senders.
+    degrees = (raw and host.arrays.rperm.itemsize <= 2
+               and os.environ.get('POINTVS_CHUNK_DEGREES', '1') != '0')
     per_node = feat_dim + 12 + (2 if degrees else 0)
     per_edge = (host.arrays.senders.itemsize * 2
                 + host.arrays.rperm.itemsize + 1

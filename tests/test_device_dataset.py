@@ -528,3 +528,17 @@ def test_chunk_codec_bit_exact(dataset, host_store):
             cl = jax.tree.map(np.asarray, jax.jit(
                 lambda s, i: collate_from_ids(s, i, cspec))(got, ids_l))
             _assert_batch_equal(cl, cg)
+
+
+def test_chunk_degrees_gated_on_uint16_rperm(host_store):
+    """Degree-encoded senders require uint16 counts; a store whose rperm
+    is int32 (some item >= 65536 edges, so out-degrees could overflow)
+    must fall back to the explicit-senders chunk codec automatically."""
+    from pointvs_tpu.data.device_dataset import plan_chunks
+
+    _, spec = plan_chunks(host_store, budget_bytes=host_store.nbytes)
+    assert spec.degrees    # uint16 rperm fixture: degrees eligible
+    wide = host_store._replace(arrays=host_store.arrays._replace(
+        rperm=host_store.arrays.rperm.astype(np.int32)))
+    _, spec32 = plan_chunks(wide, budget_bytes=host_store.nbytes)
+    assert not spec32.degrees
