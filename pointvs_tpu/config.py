@@ -25,7 +25,12 @@ def parse_args(argv=None):
                         help='Root for affinity-test parquets')
     parser.add_argument('--logging_level', type=str, default='info')
     parser.add_argument('--load_weights', '-l', type=str, required=False,
-                        help='Load a model checkpoint')
+                        help='Load a model checkpoint (orbax dir, or a '
+                             'reference-trained PointVS .pt file)')
+    parser.add_argument('--import_torch_weights', type=str,
+                        help='Import a reference-trained PointVS torch '
+                             'checkpoint (.pt; legacy key schemas '
+                             'included) onto this model')
     parser.add_argument('--translated_actives', type=str)
     parser.add_argument('--batch_size', '-b', type=int, default=32)
     parser.add_argument('--epochs_pose', '-ep', type=int, default=0)

@@ -229,6 +229,8 @@ def main(argv=None):
 
     if args.load_weights is not None:
         trainer.load_weights(args.load_weights)
+    if getattr(args, 'import_torch_weights', None):
+        trainer.import_torch_weights(args.import_torch_weights)
 
     if args.epochs_pose and train_pose is not None:
         trainer.set_task('classification')

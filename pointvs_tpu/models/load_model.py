@@ -18,6 +18,13 @@ LOG = get_logger('PointVS-TPU')
 def _resolve(weights_path) -> Tuple[Path, Path]:
     """(checkpoint_path, run_root) from a run dir or checkpoint path."""
     weights_path = expand_path(weights_path)
+    if weights_path.is_file():
+        # Direct checkpoint file (e.g. a reference-trained .pt).
+        ckpt = weights_path
+        root = ckpt.parent
+        if root.name == 'checkpoints':
+            root = root.parent
+        return ckpt, root
     if (weights_path / 'checkpoints').is_dir() or not (
             weights_path / '_CHECKPOINT_METADATA').exists():
         try:
@@ -49,6 +56,23 @@ def load_model(weights_path, silent: bool = False,
     model_kwargs = load_yaml(root / 'model_kwargs.yaml') or {}
     cmd_args_path = root / 'cmd_args.yaml'
     cmd_args = load_yaml(cmd_args_path) if cmd_args_path.exists() else {}
+
+    if ckpt.suffix in ('.pt', '.pth'):
+        # Reference-trained PointVS run dir: its sidecars use the same
+        # schema (ref point_vs/models/load_model.py:49-57 incl. the
+        # node_attention/egnn_attention back-compat), and the torch
+        # state_dict is imported by Trainer.load_weights. Two fixups:
+        # the reference's 'act' kwarg never reaches its layers (SiLU is
+        # hardcoded, egnn_satorras.py build_net swallows it), and torch
+        # checkpoints are per-layer so the scan-stacked layout is off.
+        if 'node_attention' not in cmd_args:
+            cmd_args['node_attention'] = False
+        if 'edge_attention' not in cmd_args:
+            cmd_args['edge_attention'] = cmd_args.get(
+                'egnn_attention', False)
+            model_kwargs['edge_attention'] = cmd_args['edge_attention']
+        model_kwargs.pop('act', None)
+        model_kwargs.setdefault('scan_layers', False)
 
     model_name = cmd_args.get('model', 'egnn')
     if cmd_args.get('double', False):

@@ -554,6 +554,16 @@ class Trainer:
                     f'Epoch {epoch_idx + 1} done in '
                     f'{time.time() - epoch_start:.1f}s, mean loss '
                     f'{np.mean(losses):.4f}')
+            rejects = int(getattr(data_loader.dataset, 'aug_rejects', 0))
+            if rejects:
+                # Observability for the retry-gated aug draws (both the
+                # streaming loader and the hybrid store route through
+                # dataset._aug_draw; rejected draws are re-keyed, never
+                # stale).
+                self.logger.log({
+                    'Augmented rotation redraws (cumulative)': rejects,
+                    'Augmented rotation fallbacks (cumulative)': int(
+                        getattr(data_loader.dataset, 'aug_fallbacks', 0))})
             self.on_epoch_end(epoch_end_validation_set, epochs, top1_on_end)
         progress.__exit__(None, None, None)
 
@@ -741,6 +751,12 @@ class Trainer:
         return path
 
     def load_weights(self, checkpoint_file, silent: bool = False):
+        checkpoint_file = expand_path(checkpoint_file)
+        if checkpoint_file.suffix in ('.pt', '.pth'):
+            # Reference-trained torch checkpoint (ref
+            # point_neural_network_base.py:519-565 load_weights).
+            return self.import_torch_weights(checkpoint_file,
+                                             silent=silent)
         restored = restore_checkpoint(
             checkpoint_file, self.params, self.opt_state)
         self.params = replicate(restored['params'], self.mesh)
@@ -750,3 +766,26 @@ class Trainer:
         self.a_epoch = int(meta['a_epoch'])
         if not silent:
             LOG.info(f'Successfully loaded weights from {checkpoint_file}')
+
+    def import_torch_weights(self, checkpoint_file, silent: bool = False):
+        """Import a reference-trained PointVS ``.pt`` checkpoint.
+
+        The torch state_dict (current or legacy key schemas, ref
+        point_neural_network_base.py:519-565) is mapped onto this model's
+        flax tree; the optimiser state restarts fresh (torch Adam moments
+        don't transfer across frameworks), epoch counters carry over so
+        resumed runs number checkpoints the same way the reference would.
+        """
+        from pointvs_tpu.models.torch_import import (
+            load_torch_checkpoint, torch_to_flax_params)
+        state_dict, meta = load_torch_checkpoint(checkpoint_file)
+        template = jax.tree.map(np.asarray, self.params)
+        new_params = torch_to_flax_params(state_dict, template,
+                                          self.model_name)
+        self.params = replicate(new_params, self.mesh)
+        self.opt_state = replicate(self.tx.init(new_params), self.mesh)
+        self.p_epoch = int(meta.get('p_epoch', 0))
+        self.a_epoch = int(meta.get('a_epoch', 0))
+        if not silent:
+            LOG.info(
+                f'Imported reference torch weights from {checkpoint_file}')
