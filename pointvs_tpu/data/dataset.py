@@ -139,6 +139,11 @@ class PointCloudDataset:
         # items at epoch start, in a different order) draw IDENTICAL
         # graphs. The train loader bumps this via set_epoch each epoch.
         self._aug_epoch = 0
+        # Deterministic per-item size caps for augmented rotations
+        # (aug_size_cap) + reject/fallback counters for observability.
+        self._aug_caps: dict = {}
+        self.aug_rejects = 0
+        self.aug_fallbacks = 0
         self.cache_dir = Path(cache_dir) if cache_dir else None
         if self.cache_dir:
             self.cache_dir.mkdir(parents=True, exist_ok=True)
@@ -272,14 +277,8 @@ class PointCloudDataset:
         draws, no cache writes: aug items bypass every cache), so the
         hybrid device store can prefetch the NEXT epoch's aug graphs in a
         background thread while the current epoch trains."""
-        lig_fname, rec_fname, lig_str, rec_str = self._paths_for_cached(
-            item)
-        ss = np.random.SeedSequence(
-            [int(self.seed) & 0x7fffffff, int(epoch), int(item)])
-        rng = np.random.RandomState(int(ss.generate_state(1)[0]))
-        struct, rows, cols, attrs, rperm = self._build_graph(
-            lig_fname, rec_fname, self.augmented_active_min_angle,
-            rng=rng)
+        _, _, lig_str, rec_str = self._paths_for_cached(item)
+        struct, rows, cols, attrs, rperm = self._aug_draw(item, int(epoch))
         coords = np.stack([struct['x'], struct['y'], struct['z']],
                           axis=1).astype(np.float32)
         feats = make_bit_vector(struct['types'], self.n_features,
@@ -293,11 +292,81 @@ class PointCloudDataset:
             lig_fname=lig_str, rec_fname=rec_str,
             recv_perm=np.asarray(rperm, dtype=np.int32))
 
-    def _aug_rng(self, item: int) -> np.random.RandomState:
-        """Per-(seed, epoch, item) rng for augmented-active rotations."""
-        ss = np.random.SeedSequence(
-            [int(self.seed) & 0x7fffffff, self._aug_epoch, int(item)])
+    def _aug_attempt_rng(self, item: int, epoch: int,
+                         attempt: int) -> np.random.RandomState:
+        """Per-(seed, epoch, item[, attempt]) rng for augmented-active
+        rotations. Attempt 0 keys exactly as the original
+        (seed, epoch, item) stream so accepted first draws are identical
+        to the pre-retry scheme; retries extend the key."""
+        entropy = [int(self.seed) & 0x7fffffff, int(epoch), int(item)]
+        if attempt:
+            entropy.append(int(attempt))
+        ss = np.random.SeedSequence(entropy)
         return np.random.RandomState(int(ss.generate_state(1)[0]))
+
+    def aug_size_cap(self, item: int):
+        """Deterministic (node, edge) size cap for ``item``'s augmented
+        rotations: slack x the max size over the unrotated base graph and
+        ``POINTVS_AUG_PROBES`` probe rotations (keyed far above any real
+        epoch). Because the cap depends only on (seed, item, params) it
+        is identical for the streaming loader and the hybrid device
+        store — the store sizes its slots from it, and ``_aug_draw``
+        rejects over-cap rotations on BOTH paths, so a store slot can
+        never overflow (spill-free by construction; VERDICT r4 #4)."""
+        import math
+        import os
+        hit = self._aug_caps.get(item)
+        if hit is not None:
+            return hit
+        lig_fname, rec_fname, lig_str, rec_str = self._paths_for_cached(
+            item)
+        base = self._load_boxed_graph(lig_fname, rec_fname, 0,
+                                      mem_key=(lig_str, rec_str))
+        n_max, e_max = len(base[0]['x']), len(base[1])
+        # At least one probe always runs: probe 0 doubles as _aug_draw's
+        # bounded fallback rotation, and the cap floors at its exact size
+        # below, so the fallback fits BY CONSTRUCTION for any slack
+        # (slack < 1 is a test lever for forcing the reject path).
+        probes = max(1, int(os.environ.get('POINTVS_AUG_PROBES', '4')))
+        fb_n = fb_e = 0
+        for j in range(probes):
+            rng = self._aug_attempt_rng(item, (1 << 30) + j, 0)
+            g = self._build_graph(lig_fname, rec_fname,
+                                  self.augmented_active_min_angle, rng=rng)
+            if j == 0:
+                fb_n, fb_e = len(g[0]['x']), len(g[1])
+            n_max = max(n_max, len(g[0]['x']))
+            e_max = max(e_max, len(g[1]))
+        slack_n = float(os.environ.get('POINTVS_AUG_SLACK_N', '1.6'))
+        slack_e = float(os.environ.get('POINTVS_AUG_SLACK_E', '1.8'))
+        cap = (max(int(math.ceil(n_max * slack_n)), fb_n),
+               max(int(math.ceil(e_max * slack_e)), fb_e))
+        self._aug_caps[item] = cap
+        return cap
+
+    def _aug_draw(self, item: int, epoch: int):
+        """Retry-gated augmented-rotation draw, shared by the streaming
+        ``__getitem__`` and the hybrid device store (parity by
+        construction). Draws rotations keyed (seed, epoch, item, attempt)
+        until one fits ``aug_size_cap``; after ``POINTVS_AUG_RETRIES``
+        rejections it falls back to the FIRST PROBE rotation (a real
+        >=min-angle rotation whose size is inside the cap pre-slack by
+        definition) — never a stale or truncated graph."""
+        import os
+        n_cap, e_cap = self.aug_size_cap(item)
+        lig_fname, rec_fname, _, _ = self._paths_for_cached(item)
+        retries = int(os.environ.get('POINTVS_AUG_RETRIES', '4'))
+        for attempt in range(retries + 1):
+            rng = self._aug_attempt_rng(item, epoch, attempt)
+            g = self._build_graph(lig_fname, rec_fname,
+                                  self.augmented_active_min_angle, rng=rng)
+            if len(g[0]['x']) <= n_cap and len(g[1]) <= e_cap:
+                return g
+            self.aug_rejects += 1
+        self.aug_fallbacks += 1
+        rng = self._aug_attempt_rng(item, 1 << 30, 0)
+        return self._build_graph(lig_fname, rec_fname,
+                                 self.augmented_active_min_angle, rng=rng)
 
     def _label_for(self, item: int):
         if self.model_task == 'classification':
@@ -336,6 +405,22 @@ class PointCloudDataset:
             self._path_cache[item] = hit
         return hit
 
+    def _file_fp(self, path) -> tuple:
+        """(size, mtime_ns) content fingerprint, memoised per process —
+        keeps blob-cache keys content-aware (a re-docked pose written to
+        the same path must not serve a stale cached graph) without
+        paying per-epoch stat calls on the hot path."""
+        key = str(path)
+        hit = self._path_cache.get(('fp', key))
+        if hit is None:
+            try:
+                st = Path(path).stat()
+                hit = (st.st_size, st.st_mtime_ns)
+            except OSError:
+                hit = (0, 0)
+            self._path_cache[('fp', key)] = hit
+        return hit
+
     def _cache_key(self, lig_fname, rec_fname) -> Optional[Path]:
         if self.cache_dir is None:
             return None
@@ -346,7 +431,9 @@ class PointCloudDataset:
         # caches regenerate rather than silently disqualifying v3
         # (lex2 -> lex3: the shared-receptor path used to sort by
         # sender only).
-        params = (str(lig_fname), str(rec_fname), self.radius,
+        params = (str(lig_fname), str(rec_fname),
+                  self._file_fp(lig_fname), self._file_fp(rec_fname),
+                  self.radius,
                   self.edge_radius, self.estimate_bonds, self.prune,
                   self.polar_hydrogens, self.use_atomic_numbers,
                   self.extended_atom_types, self.bp, 'lex3')
@@ -522,9 +609,16 @@ class PointCloudDataset:
                         and item >= self.pre_aug_ds_len)
         aug_angle = self.augmented_active_min_angle if is_augmented else 0
 
-        struct, rows, cols, attrs, rperm = self._load_boxed_graph(
-            lig_fname, rec_fname, aug_angle, mem_key=(lig_str, rec_str),
-            rng=self._aug_rng(item) if is_augmented else None)
+        if is_augmented:
+            # Retry-gated deterministic rotation (shared with the hybrid
+            # device store via the same (seed, epoch, item, attempt)
+            # keys and size caps — see _aug_draw).
+            struct, rows, cols, attrs, rperm = self._aug_draw(
+                item, self._aug_epoch)
+        else:
+            struct, rows, cols, attrs, rperm = self._load_boxed_graph(
+                lig_fname, rec_fname, aug_angle,
+                mem_key=(lig_str, rec_str))
 
         # Entity dropout: drop receptor or ligand, force label 0 (ref
         # :293-300). Requires regenerating edges on the remaining entity.

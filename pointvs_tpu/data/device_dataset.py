@@ -103,7 +103,6 @@ class HostStore(NamedTuple):
     nbytes: int                   # upload size estimate
     aug_from: int                 # first augmented item (== n_items: none)
     aug_epoch: List[int]          # [epoch the aug tail holds] (mutable box)
-    aug_spills: List[int]         # [cumulative slot-overflow count]
 
 
 def hybrid_enabled() -> bool:
@@ -136,18 +135,17 @@ def _idx_dtype(max_value: int):
     return np.uint16 if max_value < 65536 else np.int32
 
 
-# Hybrid-tail capacity: per-aug-item slot size = slack x the max size
-# observed over (1 + POINTVS_DD_AUG_PROBES) independent rotations at
-# build time. Aug rotations follow the reference exactly — the ligand
-# rotates about the ORIGIN (ref preprocessing.py:52-53 reduces to
-# x @ M), so the ligand-relative box can sweep very different receptor
-# regions and graph sizes vary a lot; the probes + slack bound the
-# distribution empirically. An epoch draw that still overflows its slot
-# SPILLS: the item keeps its previous epoch's graph (a stale but valid
-# rotated decoy) and the refresh logs the count — never a crash, never
-# a truncated graph.
-_AUG_NODE_SLACK = 1.6
-_AUG_EDGE_SLACK = 1.8
+# Hybrid-tail capacity: per-aug-item slot size = the dataset's own
+# deterministic aug_size_cap (slack x the max size over the base graph
+# and POINTVS_AUG_PROBES probe rotations — data/dataset.py). Aug
+# rotations follow the reference exactly — the ligand rotates about the
+# ORIGIN (ref preprocessing.py:52-53 reduces to x @ M), so the
+# ligand-relative box can sweep very different receptor regions and
+# graph sizes vary a lot. Because BOTH the streaming loader and the
+# store draw rotations through dataset._aug_draw, which rejects
+# over-cap draws (bounded retries, then the first probe rotation), a
+# slot can never overflow: the old spill path (train on the previous
+# epoch's rotation) is structurally unreachable and raises if hit.
 
 
 def _write_item(arrays, sorted_recv, i, s, check_symmetric: bool):
@@ -161,8 +159,9 @@ def _write_item(arrays, sorted_recv, i, s, check_symmetric: bool):
             f'augmented item {i} outgrew its store slot '
             f'({n_i} nodes / {e_i} edges vs capacity '
             f'{int(arrays.node_start[i + 1]) - n_lo} / '
-            f'{int(arrays.edge_start[i + 1]) - e_lo}); raise '
-            f'POINTVS_DD_AUG_PROBES / rerun, or set POINTVS_DD_HYBRID=0')
+            f'{int(arrays.edge_start[i + 1]) - e_lo}); the store was '
+            f'built under different POINTVS_AUG_* settings - rebuild it '
+            f'or set POINTVS_DD_HYBRID=0')
     f = np.asarray(s.node_feats, np.float32)
     if arrays.feats.dtype == np.uint8:
         if not np.all((f == 0) | (f == 1)):
@@ -219,10 +218,9 @@ def build_host_store(dataset) -> HostStore:
     Runs with the dataset's per-epoch rotation DISABLED so the stored
     coordinates are the deterministic boxed-pocket frame; the rotation
     (if requested) is re-applied on device each step. Augmented actives
-    (hybrid mode) get capacity-padded slots sized by probing extra
-    rotations; their contents are refreshed per epoch
+    (hybrid mode) get capacity-padded slots sized to the dataset's
+    deterministic aug_size_cap; their contents are refreshed per epoch
     (``refresh_augmented``)."""
-    import os
     reason = store_eligibility(dataset)
     if reason is not None:
         raise ValueError(f'dataset not device-residable: {reason}')
@@ -249,23 +247,13 @@ def build_host_store(dataset) -> HostStore:
     node_slot = num_nodes.copy()
     edge_slot = num_edges.copy()
     if aug_from < n_items:
-        # Probe extra rotations for capacity (distinct epochs far above
-        # any real training epoch so the training rotation stream is
-        # untouched), then restore the build epoch.
-        probes = int(os.environ.get('POINTVS_DD_AUG_PROBES', '4'))
-        try:
-            for j in range(probes):
-                dataset.set_epoch((1 << 30) + j)
-                for i in range(aug_from, n_items):
-                    s = _norot_getitem(dataset, i)
-                    node_slot[i] = max(node_slot[i], s.num_nodes)
-                    edge_slot[i] = max(edge_slot[i], s.num_edges)
-        finally:
-            dataset.set_epoch(aug_epoch)
-        node_slot[aug_from:] = np.ceil(
-            node_slot[aug_from:] * _AUG_NODE_SLACK).astype(np.int64)
-        edge_slot[aug_from:] = np.ceil(
-            edge_slot[aug_from:] * _AUG_EDGE_SLACK).astype(np.int64)
+        # Slot capacity = the dataset's deterministic per-item cap; the
+        # shared retry-gated draw (dataset._aug_draw) guarantees every
+        # epoch's rotation fits (spill-free by construction).
+        for i in range(aug_from, n_items):
+            n_cap, e_cap = dataset.aug_size_cap(i)
+            node_slot[i] = max(node_slot[i], n_cap)
+            edge_slot[i] = max(edge_slot[i], e_cap)
 
     node_start = np.zeros(n_items + 1, np.int32)
     edge_start = np.zeros(n_items + 1, np.int32)
@@ -370,8 +358,7 @@ def build_host_store(dataset) -> HostStore:
         lig_fnames=[s.lig_fname for s in samples],
         rec_fnames=[s.rec_fname for s in samples],
         symmetric=symmetric, rot=rot, nbytes=nbytes,
-        aug_from=min(aug_from, n_items), aug_epoch=[aug_epoch],
-        aug_spills=[0])
+        aug_from=min(aug_from, n_items), aug_epoch=[aug_epoch])
 
 
 def refresh_augmented(host: HostStore, dataset, epoch: int,
@@ -390,7 +377,6 @@ def refresh_augmented(host: HostStore, dataset, epoch: int,
     t0 = time.perf_counter()
     dataset.set_epoch(int(epoch))
     arrays = host.arrays
-    spills = 0
     for i in range(host.aug_from, n_items):
         s = (samples[i - host.aug_from] if samples is not None
              else _norot_getitem(dataset, i))
@@ -398,10 +384,17 @@ def refresh_augmented(host: HostStore, dataset, epoch: int,
                               - arrays.node_start[i])
                 or s.num_edges > int(arrays.edge_start[i + 1]
                                      - arrays.edge_start[i])):
-            # Spill: this epoch's rotation outgrew the slot — keep the
-            # previous epoch's graph (stale but valid rotated decoy).
-            spills += 1
-            continue
+            # Structurally unreachable: slots are sized to
+            # dataset.aug_size_cap and _aug_draw rejects over-cap
+            # rotations on both paths. A hit means the store was built
+            # under different cap env knobs than this process runs with
+            # — refuse to train on a stale rotation.
+            raise RuntimeError(
+                f'augmented item {i} drew a graph ({s.num_nodes} nodes / '
+                f'{s.num_edges} edges) larger than its store slot at '
+                f'epoch {epoch}; the store was built under different '
+                f'POINTVS_AUG_* settings - rebuild it (or set '
+                f'POINTVS_DD_HYBRID=0)')
         ok = _write_item(arrays, host.sorted_recv, i, s,
                          check_symmetric=host.symmetric)
         if host.symmetric and not ok:
@@ -415,13 +408,6 @@ def refresh_augmented(host: HostStore, dataset, epoch: int,
         host.num_nodes[i] = s.num_nodes
         host.num_edges[i] = s.num_edges
     host.aug_epoch[0] = int(epoch)
-    host.aug_spills[0] += spills
-    if spills:
-        LOG.warning(
-            f'Hybrid store: {spills}/{n_items - host.aug_from} augmented '
-            f'items outgrew their slots at epoch {epoch} and kept their '
-            f'previous graphs (raise POINTVS_DD_AUG_PROBES at build to '
-            f'shrink this)')
     n_lo = int(arrays.node_start[host.aug_from])
     e_lo = int(arrays.edge_start[host.aug_from])
     a_lo = host.aug_from
@@ -1074,4 +1060,4 @@ def load_host_store(path) -> Optional[HostStore]:
         lig_fnames=b['lig_fnames'].tobytes().decode().split('\n'),
         rec_fnames=b['rec_fnames'].tobytes().decode().split('\n'),
         symmetric=bool(flags[0]), rot=bool(flags[1]), nbytes=nbytes,
-        aug_from=int(flags[2]), aug_epoch=[0], aug_spills=[0])
+        aug_from=int(flags[2]), aug_epoch=[0])

@@ -361,6 +361,59 @@ def test_hybrid_store_refresh_matches_streaming():
         prev_aug_coords = aug_coords
 
 
+def test_hybrid_spill_free_under_forced_rejections(monkeypatch):
+    """Spill-free hybrid refresh (VERDICT r4 #4): with deliberately TINY
+    caps (slack 1.0, zero probes — the cap is exactly the unrotated base
+    size) many rotation draws exceed the cap, so the retry/fallback path
+    runs hot on BOTH the streaming dataset and the hybrid store — and
+    they still draw IDENTICAL graphs, every graph fits its slot, and the
+    old spill path (stale previous-epoch rotation) never fires."""
+    import jax
+    from pointvs_tpu.data.device_dataset import DeviceGraphStore
+    from pointvs_tpu.parallel.mesh import get_mesh
+
+    # Slack far below 1 shrinks the cap to ~the fallback rotation's size
+    # (the cap floors there by construction), so the occasional draw
+    # that sweeps extra receptor region gets rejected.
+    monkeypatch.setenv('POINTVS_AUG_SLACK_N', '0.05')
+    monkeypatch.setenv('POINTVS_AUG_SLACK_E', '0.05')
+    monkeypatch.setenv('POINTVS_AUG_PROBES', '1')
+    monkeypatch.setenv('POINTVS_AUG_RETRIES', '2')
+
+    ds = _aug_dataset()
+    host = build_host_store(ds)
+    store = DeviceGraphStore(host, get_mesh(1))
+    stream_ds = _aug_dataset()
+    ids = list(range(len(ds)))
+
+    for epoch in range(10):
+        store.refresh(ds, epoch)     # raises if any draw outgrew a slot
+        stream_ds.set_epoch(epoch)
+        samples = [stream_ds[i] for i in ids]
+        for i in range(stream_ds.pre_aug_ds_len, len(stream_ds)):
+            n_cap, e_cap = stream_ds.aug_size_cap(i)
+            assert samples[i].num_nodes <= n_cap
+            assert samples[i].num_edges <= e_cap
+        n_pad = pick_bucket(sum(s.num_nodes for s in samples),
+                            DEFAULT_NODE_BUCKETS)
+        e_pad = pick_bucket(sum(s.num_edges for s in samples),
+                            DEFAULT_EDGE_BUCKETS)
+        host_b = _host_batch(samples, len(ids), n_pad, e_pad)
+        spec = DeviceCollateSpec(n_pad=n_pad, e_pad=e_pad,
+                                 num_graphs=len(ids),
+                                 symmetric=host.symmetric, rotate=False)
+        fn = jax.jit(lambda a, i: collate_from_ids(a, i, spec))
+        dev = jax.tree.map(np.asarray,
+                           fn(store.arrays, np.asarray(ids, np.int32)))
+        _assert_batch_equal(dev, host_b)
+
+    # The tiny caps actually exercised the reject path (otherwise this
+    # test proves nothing) and both paths counted identically.
+    assert ds.aug_rejects > 0
+    assert ds.aug_rejects == stream_ds.aug_rejects
+    assert ds.aug_fallbacks == stream_ds.aug_fallbacks
+
+
 def test_hybrid_prefetch_refresh_matches_sync():
     """aug_item (the thread-safe explicit-epoch featuriser the background
     prefetch uses) is bit-identical to the sync set_epoch path, and a
