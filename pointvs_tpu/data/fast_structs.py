@@ -18,13 +18,28 @@ KEYS = ('x', 'y', 'z', 'atomic_number', 'types', 'bp')
 Struct = Dict[str, np.ndarray]
 
 
-@lru_cache(maxsize=4096)
 def read_struct(path_str: str) -> Struct:
     """Parquet -> dict of numpy columns (no pandas materialisation).
     Cached (4096 entries ~ a full training set of small ligand
     files): receptors are shared across a whole screen and ligands
     re-read every epoch otherwise. Treat as immutable — copy before
-    mutating."""
+    mutating.
+
+    The cache key includes the file's (size, mtime_ns) so a pose
+    re-written to the same path (re-docking) is re-read even inside a
+    long-lived process; the stat costs ~2 us vs ~0.14 ms for the read
+    it guards."""
+    import os
+    try:
+        st = os.stat(path_str)
+        fp = (st.st_size, st.st_mtime_ns)
+    except OSError:
+        fp = (0, 0)
+    return _read_struct_cached(path_str, fp)
+
+
+@lru_cache(maxsize=4096)
+def _read_struct_cached(path_str: str, _fp) -> Struct:
     import pyarrow.parquet as pq
     # ParquetFile.read skips read_table's dataset-scanner machinery:
     # 0.14 ms vs 0.70 ms per (tiny) file, and these reads dominate the

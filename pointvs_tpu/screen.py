@@ -189,14 +189,27 @@ def screen(model_path, receptor, ligands, output='screen_results.csv',
         if store_eligibility(dl.dataset) is None:
             store_path = None
             if cache_dir is not None:
-                params = (manifest.read_text(),
+                # Content fingerprint: (size, mtime_ns) per input file,
+                # not just the manifest paths — re-docked/overwritten
+                # parquets at the same paths must invalidate the cached
+                # featurised store (ADVICE r4). ~2 us/stat: negligible
+                # even at 100k+ poses.
+                def _fp(path):
+                    try:
+                        st = _os.stat(path)
+                        return st.st_size, st.st_mtime_ns
+                    except OSError:
+                        return (0, 0)
+
+                fps = [_fp(receptor)] + [_fp(p) for p in lig_files]
+                params = (manifest.read_text(), fps,
                           cmd_args.get('compact', True),
                           cmd_args.get('radius', radius),
                           cmd_args.get('edge_radius', edge_radius),
                           cmd_args.get('estimate_bonds', estimate_bonds),
                           cmd_args.get('prune', False),
                           cmd_args.get('use_atomic_numbers', False),
-                          cmd_args.get('hydrogens', False), 'store1')
+                          cmd_args.get('hydrogens', False), 'store2')
                 digest = hashlib.sha1(
                     repr(params).encode()).hexdigest()[:24]
                 store_path = Path(cache_dir) / f'store_{digest}.bin'
@@ -454,7 +467,6 @@ def screen(model_path, receptor, ligands, output='screen_results.csv',
         n_batches = sum(len(v) for v in chunk_spans.values())
         LOG.info(f'Chunked screen: {n_batches} budget batches '
                  f'(<= {num_graphs} poses each), scatter cap {cap}')
-        live = []                  # keep chunk arrays until drain
         stack_cache = {}
         STACK_G = 32   # fixed stack arity: ONE compiled concat program
         #                (variable-arity stacks compiled one program per
@@ -479,8 +491,13 @@ def screen(model_path, receptor, ligands, output='screen_results.csv',
             t0 = time.perf_counter()
             packed = pack_chunk(host, lo, hi, cspec)
             t1 = time.perf_counter()
+            # No host-side reference is kept past this iteration: each
+            # queued execution holds the chunk's buffers alive in the
+            # runtime until it runs, so dropping ``arrays`` lets HBM
+            # free chunk-by-chunk as the device timeline advances —
+            # peak HBM is ~2 chunks (executing + next upload), not the
+            # whole expanded library (ADVICE r4).
             arrays = expand(jax.device_put(packed))
-            live.append(arrays)
             t2 = time.perf_counter()
             outs, metas = [], []
             n_disp = 0
@@ -509,11 +526,9 @@ def screen(model_path, receptor, ligands, output='screen_results.csv',
                          f'put+expand {t2-t1:.2f}s dispatch '
                          f'{time.perf_counter()-t2:.2f}s '
                          f'x{n_disp} batches')
-        return live
 
-    _chunk_live = None
     if dd_chunk is not None:
-        _chunk_live = run_chunked(*dd_chunk)
+        run_chunked(*dd_chunk)
 
     for batch, meta in (() if dd_chunk is not None else dl):
         if isinstance(batch, tuple) and batch[0] == 'host_packed':

@@ -112,3 +112,43 @@ def test_screen_chunked_matches_resident(model_dir, tmp_path,
     # ~tiny chunk budget: forces several chunks for the 6-pose library.
     chunked = run('chunked', POINTVS_SCREEN_CHUNK_MB='0.08')
     np.testing.assert_array_equal(chunked, ref)
+
+
+def test_screen_store_cache_invalidates_on_content_change(model_dir,
+                                                          tmp_path):
+    """The store-level disk cache fingerprints file CONTENT
+    ((size, mtime_ns) per input), not just manifest paths: re-docking a
+    ligand to the same path must re-featurise, not silently reuse the
+    stale cached store (ADVICE r4)."""
+    import os
+    import shutil
+
+    lib = tmp_path / 'library'
+    lib.mkdir()
+    shutil.copy('tests/resources/lig_0.parquet', lib / 'lig.parquet')
+    cache = tmp_path / 'cache'
+
+    def run(tag):
+        out = tmp_path / f'hits_{tag}.csv'
+        return screen(model_dir, 'tests/resources/rec_0.parquet',
+                      str(lib), output=str(out), batch_size=2,
+                      cache_dir=str(cache))
+
+    s0 = run('a').score[0]
+    stores0 = set(cache.glob('store_*.bin'))
+    assert len(stores0) == 1          # first run wrote the store cache
+    # Same content -> same digest -> cache reused, same score.
+    assert run('b').score[0] == s0
+    assert set(cache.glob('store_*.bin')) == stores0
+    # "Re-dock": a perturbed pose at the SAME path. New digest, new
+    # store, different score.
+    import pandas as pd
+    df = pd.read_parquet(lib / 'lig.parquet')
+    # Non-rigid perturbation (a rigid shift would be invisible to the
+    # E(3)-invariant model).
+    df['x'] = df['x'] + np.linspace(0, 2.0, len(df))
+    df.to_parquet(lib / 'lig.parquet')
+    os.utime(lib / 'lig.parquet')
+    s2 = run('c').score[0]
+    assert set(cache.glob('store_*.bin')) != stores0
+    assert s2 != s0
