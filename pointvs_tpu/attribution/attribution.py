@@ -93,7 +93,8 @@ def score_atoms(trainer, rec, lig, attribution_fn, radius: float = 12,
     batch = get_single_graph_for_inference(sample)
 
     task = trainer.model_task
-    scores = attribution_fn(trainer.model, trainer.params, batch, task=task)
+    scores = attribution_fn(trainer.host_model, trainer.params, batch,
+                            task=task)
 
     struct = struct.copy()
     if len(scores) == len(struct):

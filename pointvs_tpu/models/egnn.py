@@ -59,6 +59,10 @@ class EGNNLayer(nn.Module):
     # (the reference always calls pyg GraphNorm with batch=None,
     # egnn_satorras.py:84). Default stays per-graph masked stats.
     graphnorm_whole_batch: bool = False
+    # DP mesh axis for whole-batch GraphNorm statistics (psum across it
+    # so strict mode normalises over the GLOBAL batch, matching the
+    # reference's batch=None semantics under data parallelism).
+    batch_shard_axis: Optional[str] = None
     update_coords: bool = True
     permutation_invariance: bool = False
     node_attention: bool = False
@@ -82,6 +86,8 @@ class EGNNLayer(nn.Module):
         if self.graphnorm:
             self.node_graphnorm = GraphNorm(
                 self.hidden_nf, whole_batch=self.graphnorm_whole_batch,
+                batch_axis=(self.batch_shard_axis
+                            if self.graphnorm_whole_batch else None),
                 name='node_graphnorm')
         self.node_lin2 = TorchLinear(self.output_nf, dtype=self.dtype,
                                      name='node_lin2')
@@ -324,6 +330,10 @@ class SartorrasEGNN(nn.Module):
     # EGNNLayer.graphnorm_whole_batch). Makes predictions depend on
     # batch composition, exactly as the reference's do.
     graphnorm_whole_batch: bool = False
+    # DP mesh axis for strict (whole-batch) GraphNorm stats — set by the
+    # Trainer when num_devices > 1 so --strict_graphnorm stays
+    # reference-exact over the global batch (init clones it to None).
+    batch_shard_axis: Optional[str] = None
     multi_fc: bool = False
     update_coords: bool = True
     permutation_invariance: bool = False
@@ -374,6 +384,7 @@ class SartorrasEGNN(nn.Module):
             edge_attention=self.edge_attention, normalize=self.normalize,
             graphnorm=self.graphnorm,
             graphnorm_whole_batch=self.graphnorm_whole_batch,
+            batch_shard_axis=self.batch_shard_axis,
             tanh=self.tanh,
             update_coords=self.update_coords,
             permutation_invariance=self.permutation_invariance,

@@ -88,6 +88,7 @@ class LucidEGNNLayer(nn.Module):
     # wraps pyg GraphNorm in nn.Sequential, egnn_lucid.py:255/267, so it
     # always runs with batch=None). Default: per-graph masked stats.
     graphnorm_whole_batch: bool = False
+    batch_shard_axis: 'str | None' = None
     node_final_act: bool = False
 
     def setup(self):
@@ -117,7 +118,9 @@ class LucidEGNNLayer(nn.Module):
         if self.graphnorm:
             self.node_graphnorm = GraphNorm(
                 k if self.thin_mlps else k * 2,
-                whole_batch=self.graphnorm_whole_batch)
+                whole_batch=self.graphnorm_whole_batch,
+                batch_axis=(self.batch_shard_axis
+                            if self.graphnorm_whole_batch else None))
         if not self.thin_mlps:
             self.node_lin2 = nn.Dense(
                 k, kernel_init=xavier_normal,
@@ -226,6 +229,9 @@ class LucidEGNN(nn.Module):
     update_coords: bool = True
     graphnorm: bool = False
     graphnorm_whole_batch: bool = False
+    # DP mesh axis for strict (whole-batch) GraphNorm stats (see
+    # SartorrasEGNN.batch_shard_axis).
+    batch_shard_axis: 'str | None' = None
     thin_mlps: bool = False
     node_final_act: bool = False
     model_task: str = 'classification'
@@ -246,6 +252,7 @@ class LucidEGNN(nn.Module):
             tanh=self.tanh, thin_mlps=self.thin_mlps,
             graphnorm=self.graphnorm,
             graphnorm_whole_batch=self.graphnorm_whole_batch,
+            batch_shard_axis=self.batch_shard_axis,
             node_final_act=self.node_final_act)
 
     def setup(self):

@@ -50,22 +50,35 @@ class GraphNorm(nn.Module):
     features: int
     eps: float = 1e-5
     whole_batch: bool = False
+    # Mesh axis the BATCH is sharded over (data parallelism). Only
+    # meaningful with whole_batch=True: the reference normalises over
+    # its whole (global) batch, so under DP the masked sums/counts must
+    # psum across the dp axis or statistics would cover only
+    # batch_size/num_devices graphs (ADVICE r4). None = local shard.
+    batch_axis: 'str | None' = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, graph_id: jnp.ndarray,
                  num_graphs: int, node_mask: jnp.ndarray) -> jnp.ndarray:
+        import jax
+
         weight = self.param('weight', nn.initializers.ones, (self.features,))
         bias = self.param('bias', nn.initializers.zeros, (self.features,))
         mean_scale = self.param('mean_scale', nn.initializers.ones,
                                 (self.features,))
 
+        def _psum(v):
+            return (v if self.batch_axis is None
+                    else jax.lax.psum(v, self.batch_axis))
+
         if self.whole_batch:
-            count = jnp.maximum(jnp.sum(node_mask), 1.0)
-            mean = jnp.sum(x * node_mask[:, None], axis=0) / count
+            count = jnp.maximum(_psum(jnp.sum(node_mask)), 1.0)
+            mean = _psum(jnp.sum(x * node_mask[:, None], axis=0)) / count
             out = x - mean[None, :] * mean_scale
             # Variance over real rows only: padding rows of ``out`` are
             # -mean*mean_scale (non-zero), so they must be masked out.
-            var = jnp.sum((out * out) * node_mask[:, None], axis=0) / count
+            var = _psum(jnp.sum((out * out) * node_mask[:, None],
+                                axis=0)) / count
             std = jnp.sqrt(var + self.eps)[None, :]
         else:
             mean = _masked_graph_mean(x, graph_id, num_graphs, node_mask)

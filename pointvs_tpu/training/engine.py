@@ -180,6 +180,13 @@ class Trainer:
             # steps. Kept OUT of self.model_kwargs so model_kwargs.yaml /
             # checkpoints stay loadable on a single device.
             build_kwargs['edge_shard_axis'] = 'gp'
+        if (model_kwargs.get('graphnorm_whole_batch')
+                and (num_devices or len(jax.devices())) > 1):
+            # --strict_graphnorm under DP: whole-batch statistics psum
+            # across the dp axis so they cover the GLOBAL batch — the
+            # reference's batch=None semantics at the same global batch
+            # size (ADVICE r4). Also kept out of self.model_kwargs.
+            build_kwargs['batch_shard_axis'] = 'dp'
         self.model = build_model(model_name, **build_kwargs)
         self.input_kind = model_input_kind(model_name)
         self.rng = jax.random.PRNGKey(seed)
@@ -189,8 +196,11 @@ class Trainer:
         # over a remote-tunnel TPU backend. An edge-sharded model's psums
         # reference a mesh axis only bound inside shard_map, so init runs
         # on an unsharded clone (param shapes are sharding-independent).
-        init_model = (self.model.clone(edge_shard_axis=None)
-                      if self.graph_shard > 1 else self.model)
+        init_model = self.model
+        unshard = {k: None for k in ('edge_shard_axis', 'batch_shard_axis')
+                   if getattr(self.model, k, None) is not None}
+        if unshard:
+            init_model = self.model.clone(**unshard)
         params = jax.jit(init_model.init)(
             {'params': init_rng, 'dropout': init_rng},
             _dummy_input(self.input_kind, dim_input))
@@ -239,6 +249,15 @@ class Trainer:
         self.logger.log({'Parameters': self.param_count})
 
     # ------------------------------------------------------------------ #
+    @property
+    def host_model(self):
+        """The model with mesh-axis bindings cleared — for callers that
+        apply it OUTSIDE the sharded step functions (attribution tools,
+        single-graph probes), where psum axes are unbound."""
+        unshard = {k: None for k in ('edge_shard_axis', 'batch_shard_axis')
+                   if getattr(self.model, k, None) is not None}
+        return self.model.clone(**unshard) if unshard else self.model
+
     @property
     def param_count(self) -> int:
         return int(sum(np.prod(p.shape)

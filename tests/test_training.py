@@ -45,6 +45,19 @@ def test_train_and_dp_parity(tmp_path):
     np.testing.assert_allclose(p1, p8, atol=2e-4)
 
 
+def test_strict_graphnorm_dp_parity(tmp_path):
+    """--strict_graphnorm under data parallelism: whole-batch GraphNorm
+    statistics psum over the dp axis, so an 8-device run normalises
+    over the same GLOBAL batch a 1-device run does (ADVICE r4: without
+    the psum, each device shard would normalise over batch/8 graphs and
+    the two runs diverge)."""
+    extra = ['-ep', '2', '-b', '8', '--strict_graphnorm']
+    p1 = _run(tmp_path, 'sgn1', extra + ['--num_devices', '1'])
+    p8 = _run(tmp_path, 'sgn8', extra + ['--num_devices', '8'])
+    assert len(p1) == len(p8) == 2
+    np.testing.assert_allclose(p1, p8, atol=2e-4)
+
+
 def test_checkpoint_roundtrip_and_inference(tmp_path):
     from pointvs_tpu.inference import main as infer_main
     save = str(tmp_path / 'ckpt_run')
