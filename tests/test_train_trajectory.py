@@ -56,7 +56,7 @@ def _random_samples(n_graphs, rng, multi=False):
     return samples
 
 
-def _jax_trajectory(model, params, batches, task):
+def _jax_trajectory(model, params, batches, task, steps=STEPS):
     import jax
     import jax.numpy as jnp
     from pointvs_tpu.parallel.mesh import get_mesh, replicate, shard_batch
@@ -67,12 +67,13 @@ def _jax_trajectory(model, params, batches, task):
     step = make_train_step(model, tx, task, 'mse', mesh,
                            multitask=(task == 'multi_regression'))
     sched = make_lr_schedule(LR, steps_per_epoch=N_BATCHES,
-                             epochs=STEPS // N_BATCHES, warm_restarts=True)
+                             epochs=max(1, steps // N_BATCHES),
+                             warm_restarts=True)
     p = replicate(jax.tree.map(np.array, params), mesh)
     o = replicate(tx.init(params), mesh)
     rng = jax.random.PRNGKey(0)
     losses = []
-    for t in range(STEPS):
+    for t in range(steps):
         batch = shard_batch(stack_device_batches(
             [batches[t % N_BATCHES]]), mesh)
         p, o, loss = step(p, o, batch, jnp.float32(sched(t)), rng)
@@ -80,14 +81,16 @@ def _jax_trajectory(model, params, batches, task):
     return losses, p
 
 
-def _torch_trajectory(net, batches_torch, task, multitask=False):
+def _torch_trajectory(net, batches_torch, task, multitask=False,
+                      steps=STEPS):
     opt = torch.optim.Adam(net.parameters(), lr=LR, weight_decay=WD,
                            betas=(0.9, 0.999), eps=1e-8)
     sched = make_lr_schedule(LR, steps_per_epoch=N_BATCHES,
-                             epochs=STEPS // N_BATCHES, warm_restarts=True)
+                             epochs=max(1, steps // N_BATCHES),
+                             warm_restarts=True)
     losses = []
     net.train()
-    for t in range(STEPS):
+    for t in range(steps):
         for g in opt.param_groups:
             g['lr'] = sched(t)
         feats, coords, rows, cols, eattr, gid, y = batches_torch[
@@ -208,4 +211,37 @@ def test_multitask_affinity_trajectory_matches_torch():
     tl = _torch_trajectory(net, torch_batches, 'multi_regression',
                            multitask=True)
     assert jl[-N_BATCHES] < jl[0]
+    _compare(jl, tl)
+
+
+def test_deep_graphnorm_trajectory_matches_torch():
+    """Depth-drift gate (VERDICT r4 #8): 16 stacked whole-batch
+    GraphNorms compound any per-layer statistics mismatch
+    multiplicatively — the 3-layer gates cannot see it. 5 steps at
+    1e-4/step over a 16-layer softmax-attention + graphnorm config."""
+    import jax
+    rng = np.random.RandomState(14)
+    deep_layers, steps = 16, 5
+    sample_sets = [_random_samples(N_GRAPHS, rng) for _ in range(N_BATCHES)]
+    flags = dict(residual=True, normalize=True, tanh=True, graphnorm=True,
+                 graphnorm_whole_batch=True, edge_attention=True,
+                 softmax_attention=True)
+    batches = [pad_graphs_to_batch(s, num_graphs=N_GRAPHS,
+                                   n_pad=sum(x.num_nodes for x in s) + 7,
+                                   e_pad=sum(x.num_edges for x in s) + 13)
+               for s in sample_sets]
+    model = build_model('egnn', dim_input=DIM_IN, k=K, dim_output=1,
+                        num_layers=deep_layers, scan_layers=False, **flags)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), batches[0])
+
+    torch_flags = dict(flags)
+    torch_flags.pop('graphnorm_whole_batch')
+    net = RefEGNN(DIM_IN, K, 1, deep_layers, **torch_flags)
+    load_flax_params(net, jax.tree.map(np.asarray, params))
+
+    jl, _ = _jax_trajectory(model, params, batches, 'classification',
+                            steps=steps)
+    tl = _torch_trajectory(net, [samples_to_torch_batch(s)
+                                 for s in sample_sets], 'classification',
+                           steps=steps)
     _compare(jl, tl)
