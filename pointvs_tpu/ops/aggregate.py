@@ -444,23 +444,23 @@ class EdgeAggregator:
         flat = logits[:, 0] if squeeze else logits
 
         # Single-pass Pallas kernel (masked segment max + exp weighting +
-        # contraction in VMEM) when unsharded f32 on TPU — INFERENCE
-        # ONLY: its recompute VJP measures 26% slower through a 12L
-        # train step than the composable formulation's autodiff
-        # backward (76.3 vs 60.7 ms D2H-fenced), while the forward-only
-        # eval is 1.5x faster (1,526 vs 996 poses/s at 12L). The
-        # edge-sharded path also stays composable (it needs a
+        # contraction in VMEM) when unsharded f32 on TPU — in BOTH train
+        # and eval since round 5: the stash-VJP (seg-max saved in the
+        # forward, expd rebuilt elementwise, one row gather — no
+        # recompute pass, no scatter) now WINS the 12L train A/B at HEAD
+        # shapes (35.0 vs 41.8 ms/step D2H-fenced, dynamic-cap era;
+        # BASELINE.md r5 — the r3 kernel-loses measurement predated
+        # dynamic caps, which shrank the kernel's per-window slices
+        # 4.4x). The edge-sharded path stays composable (it needs a
         # cross-device pmax BETWEEN max and exp).
-        # POINTVS_FUSED_SOFTMAX=0 disables just this kernel (A/B
-        # without losing the scatter kernel).
         import os
         from pointvs_tpu.ops.sorted_segment import _use_pallas
         k = edge_feat.shape[1]
         env = os.environ.get('POINTVS_FUSED_SOFTMAX', '1')
-        # env: '0' = kernel off, '1' = eval only (default), 'train' =
-        # eval + train (A/B knob; the custom-VJP train path lost to the
-        # composable backward when last measured — see DEVELOPMENT.md).
-        allowed = (env == 'train') or (env != '0' and not train)
+        # env: '0' = kernel off (A/B without losing the scatter kernel),
+        # 'eval' = the pre-r5 eval-only gating, anything else = train +
+        # eval (default).
+        allowed = env != '0' and not (env == 'eval' and train)
         if (allowed and self.axis_name is None and mask is not None
                 and edge_feat.dtype == jnp.float32
                 and flat.dtype == jnp.float32
@@ -509,17 +509,18 @@ class EdgeAggregator:
                                 mask=None, train=False):
         """(sum sigmoid(logits)*feat, mean trans) per destination — the
         sigmoid-edge-attention aggregation in ONE kernel pass on TPU
-        (falls back to the composable ops elsewhere). Inference-only
-        like the softmax kernel: the recompute VJP loses to the
-        composable backward in training."""
+        (falls back to the composable ops elsewhere). Train + eval like
+        the softmax kernel since round 5 (same stash-VJP structure,
+        minus the max pass; same A/B gate)."""
         import os
         mask = self.edge_mask if mask is None else mask
         flat = logits[:, 0] if (logits.ndim == 2
                                 and logits.shape[-1] == 1) else logits
         from pointvs_tpu.ops.sorted_segment import _use_pallas
         k = edge_feat.shape[1]
-        if (not train and self.axis_name is None and mask is not None
-                and os.environ.get('POINTVS_FUSED_SOFTMAX', '1') != '0'
+        env = os.environ.get('POINTVS_FUSED_SOFTMAX', '1')
+        if (env != '0' and not (env == 'eval' and train)
+                and self.axis_name is None and mask is not None
                 and edge_feat.dtype == jnp.float32
                 and flat.dtype == jnp.float32
                 and edge_feat.shape[0] >= 4 * WINDOW):
