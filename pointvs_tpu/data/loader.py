@@ -174,6 +174,16 @@ class GraphDataLoader:
         # loader's own rng stream, which also replays from its seed.
         self._epochs_started = 0
 
+    def seed_scatter_cap(self, cap: int) -> None:
+        """Pre-seed the sticky dynamic cap (``_cap_high``): a caller that
+        probed its epoch compositions (bench.py) or recorded a previous
+        run's realised capacity (training/engine train_spec.yaml) starts
+        the running max at that value, so the step program compiles ONCE
+        at the final capacity instead of re-compiling whenever a later
+        epoch sets a new record mid-run — recompiles inside a training
+        or measurement window cost 40-240 s on the remote service."""
+        self._cap_high = max(self._cap_high, int(cap))
+
     def _meta_cap(self, measured: int) -> int:
         """meta.cap from a batch's measured capacity bucket: the pinned
         --scatter_cap when set (multihost-deterministic; overflow is a
