@@ -746,6 +746,14 @@ class StoreChunkSpec(NamedTuple):
     # uses at this size) — still ZERO device sorts. Cuts chunk upload
     # ~30% on the tunnel-upload-bound single-pass screen.
     degrees: bool = False
+    # coords16: coordinates ship as per-axis fixed-point uint16 against
+    # a per-chunk (lo, scale) affine map — 6 B/node instead of 12. Worst
+    # per-axis error is scale/2 = extent/131070 (< 0.0005 A for an 80 A
+    # pocket library) — far below the pose-perturbation noise screening
+    # tolerates, but NOT bit-exact: scores shift within a documented
+    # bound (tests/test_device_dataset.py pins the coordinate bound;
+    # POINTVS_CHUNK_COORDS16=0 restores exact f32 coords).
+    coords16: bool = False
 
 
 def plan_chunks(host: HostStore, budget_bytes: float, raw: bool = True):
@@ -761,7 +769,10 @@ def plan_chunks(host: HostStore, budget_bytes: float, raw: bool = True):
     # overflow — int32-rperm stores fall back to explicit senders.
     degrees = (raw and host.arrays.rperm.itemsize <= 2
                and os.environ.get('POINTVS_CHUNK_DEGREES', '1') != '0')
-    per_node = feat_dim + 12 + (2 if degrees else 0)
+    coords16 = (raw and
+                os.environ.get('POINTVS_CHUNK_COORDS16', '1') != '0')
+    per_node = (feat_dim + (6 if coords16 else 12)
+                + (2 if degrees else 0))
     per_edge = (host.arrays.senders.itemsize * 2
                 + host.arrays.rperm.itemsize + 1
                 - (host.arrays.senders.itemsize if degrees else 0))
@@ -788,7 +799,8 @@ def plan_chunks(host: HostStore, budget_bytes: float, raw: bool = True):
         # ship implicitly as senders[rperm], the mirror involution).
         return ranges, StoreChunkSpec(
             items=items, n_fix=n_fix, eh_fix=eh_fix, feat_dim=feat_dim,
-            half=host.symmetric, raw=True, degrees=degrees)
+            half=host.symmetric, raw=True, degrees=degrees,
+            coords16=coords16)
     eh_fix = -(-(e_fix // 2) // 4) * 4 if host.symmetric else e_fix
     return ranges, StoreChunkSpec(items=items, n_fix=n_fix, eh_fix=eh_fix,
                                   feat_dim=feat_dim, half=host.symmetric)
@@ -805,8 +817,23 @@ def pack_chunk(host: HostStore, lo: int, hi: int, spec: StoreChunkSpec):
     feats[:n] = a.feats[n_lo:n_hi]
     # Bit-pack along the node axis (n_fix % 8 == 0), as wire v1 does.
     feat_bits = np.packbits(feats.T, axis=-1, bitorder='little')
-    coords = np.zeros((spec.n_fix, 3), np.float32)
-    coords[:n] = a.coords[n_lo:n_hi]
+    if spec.coords16:
+        # Per-axis fixed-point against the chunk's bounding box: error
+        # <= scale/2 per axis (see StoreChunkSpec.coords16).
+        real = a.coords[n_lo:n_hi]
+        lo3 = real.min(axis=0) if n else np.zeros(3, np.float32)
+        hi3 = real.max(axis=0) if n else np.zeros(3, np.float32)
+        scale = np.maximum((hi3 - lo3) / 65535.0, 1e-12).astype(np.float32)
+        coords_q = np.zeros((spec.n_fix, 3), np.uint16)
+        coords_q[:n] = np.clip(
+            np.rint((real - lo3) / scale), 0, 65535).astype(np.uint16)
+        coord_fields = {'coords_q': coords_q,
+                        'coords_lo': lo3.astype(np.float32),
+                        'coords_scale': scale}
+    else:
+        coords = np.zeros((spec.n_fix, 3), np.float32)
+        coords[:n] = a.coords[n_lo:n_hi]
+        coord_fields = {'coords': coords}
 
     node_start = np.zeros(spec.items + 1, np.int32)
     node_start[:c + 1] = a.node_start[lo:hi + 1] - n_lo
@@ -890,7 +917,7 @@ def pack_chunk(host: HostStore, lo: int, hi: int, spec: StoreChunkSpec):
         edges = {'full_senders': fs, 'full_receivers': fr,
                  'full_class': fc}
     return {
-        'feat_bits': feat_bits, 'coords': coords,
+        'feat_bits': feat_bits, **coord_fields,
         'node_start': node_start, 'edge_start': edge_start,
         'node_len': node_len, 'edge_len': edge_len,
         'y': y, 'strain': strain,
@@ -916,6 +943,12 @@ def expand_chunk(packed: dict, spec: StoreChunkSpec) -> DeviceStoreArrays:
     shifts = jnp.arange(8, dtype=jnp.uint8)
     feats = ((bits[:, :, None] >> shifts[None, None, :]) & 1
              ).reshape(spec.feat_dim, n_fix).T      # [n_fix, F] uint8
+    if spec.coords16:
+        coords = (packed['coords_lo']
+                  + packed['coords_q'].astype(jnp.float32)
+                  * packed['coords_scale'])
+    else:
+        coords = packed['coords']
 
     if spec.raw:
         pos = jnp.arange(eh, dtype=jnp.int32)
@@ -948,7 +981,7 @@ def expand_chunk(packed: dict, spec: StoreChunkSpec) -> DeviceStoreArrays:
             receivers = senders[
                 jnp.clip(rperm + edge_start[item_e], 0, eh - 1)]
         return DeviceStoreArrays(
-            feats=feats, coords=packed['coords'],
+            feats=feats, coords=coords,
             senders=senders, receivers=receivers,
             rperm=rperm, eclass=eclass,
             node_start=node_start, edge_start=edge_start,
@@ -1009,7 +1042,7 @@ def expand_chunk(packed: dict, spec: StoreChunkSpec) -> DeviceStoreArrays:
         rperm = jnp.where(real_e, rp_g - edge_start[item_e], 0)
 
     return DeviceStoreArrays(
-        feats=feats, coords=packed['coords'],
+        feats=feats, coords=coords,
         senders=senders.astype(jnp.int32),
         receivers=receivers.astype(jnp.int32),
         rperm=rperm.astype(jnp.int32), eclass=eclass,

@@ -528,6 +528,11 @@ def test_chunk_codec_bit_exact(dataset, host_store):
     ranges, spec = plan_chunks(host_store,
                                budget_bytes=host_store.nbytes / 2 + 1)
     assert len(ranges) >= 2 and spec.raw and spec.degrees
+    # Fixed-point coords (the default for screening) are NOT bit-exact —
+    # they have their own bound test below; everything here pins the
+    # exact codecs.
+    assert spec.coords16
+    spec = spec._replace(coords16=False)
     full_e = int(max(host_store.arrays.edge_start[hi]
                      - host_store.arrays.edge_start[lo]
                      for lo, hi in ranges))
@@ -581,6 +586,44 @@ def test_chunk_codec_bit_exact(dataset, host_store):
             cl = jax.tree.map(np.asarray, jax.jit(
                 lambda s, i: collate_from_ids(s, i, cspec))(got, ids_l))
             _assert_batch_equal(cl, cg)
+
+
+def test_chunk_coords16_bound(host_store):
+    """Fixed-point chunk coords (6 B/node wire) reconstruct within the
+    documented per-axis bound scale/2 = extent/131070, and everything
+    ELSE in the chunk stays bit-exact (the quantisation touches only the
+    coordinate field)."""
+    import jax
+    from pointvs_tpu.data.device_dataset import (expand_chunk, pack_chunk,
+                                                 plan_chunks)
+
+    ranges, spec = plan_chunks(host_store,
+                               budget_bytes=host_store.nbytes / 2 + 1)
+    assert spec.coords16
+    a = host_store.arrays
+    expand = jax.jit(lambda p: expand_chunk(p, spec))
+    for lo, hi in ranges:
+        packed = pack_chunk(host_store, lo, hi, spec)
+        got = jax.tree.map(np.asarray, expand(packed))
+        n_lo, n_hi = int(a.node_start[lo]), int(a.node_start[hi])
+        e_lo, e_hi = int(a.edge_start[lo]), int(a.edge_start[hi])
+        n, e = n_hi - n_lo, e_hi - e_lo
+        real = a.coords[n_lo:n_hi]
+        extent = real.max(axis=0) - real.min(axis=0)
+        # scale/2 quantisation + a little f32 arithmetic slack (the
+        # pack-side division and the device-side q*scale multiply each
+        # round once more).
+        bound = extent / 131070.0 * 1.01 + 1e-5
+        err = np.abs(got.coords[:n] - real)
+        assert (err <= bound[None, :]).all(), \
+            f'coords16 error {err.max()} exceeds bound {bound}'
+        np.testing.assert_array_equal(got.feats[:n], a.feats[n_lo:n_hi])
+        np.testing.assert_array_equal(
+            got.senders[:e], a.senders[e_lo:e_hi].astype(np.int32))
+        np.testing.assert_array_equal(
+            got.receivers[:e], a.receivers[e_lo:e_hi].astype(np.int32))
+        np.testing.assert_array_equal(
+            got.rperm[:e], a.rperm[e_lo:e_hi].astype(np.int32))
 
 
 def test_chunk_degrees_gated_on_uint16_rperm(host_store):

@@ -110,8 +110,17 @@ def test_screen_chunked_matches_resident(model_dir, tmp_path,
 
     ref = run('resident')
     # ~tiny chunk budget: forces several chunks for the 6-pose library.
-    chunked = run('chunked', POINTVS_SCREEN_CHUNK_MB='0.08')
+    # COORDS16=0: exact f32 coords so the parity is BYTE-identical (the
+    # default fixed-point coords carry a documented ≤ extent/131070
+    # per-axis bound — exercised below and in test_device_dataset).
+    chunked = run('chunked', POINTVS_SCREEN_CHUNK_MB='0.08',
+                  POINTVS_CHUNK_COORDS16='0')
     np.testing.assert_array_equal(chunked, ref)
+    # Default chunked path (fixed-point coords): scores agree to the
+    # quantisation tolerance — coordinates feed radial distances, so a
+    # <= 0.001 A coordinate bound keeps sigmoid scores within ~1e-3.
+    chunked_q = run('chunked_q', POINTVS_SCREEN_CHUNK_MB='0.08')
+    np.testing.assert_allclose(chunked_q, ref, atol=1e-3)
 
 
 def test_screen_store_cache_invalidates_on_content_change(model_dir,
