@@ -754,6 +754,31 @@ class StoreChunkSpec(NamedTuple):
     # bound (tests/test_device_dataset.py pins the coordinate bound;
     # POINTVS_CHUNK_COORDS16=0 restores exact f32 coords).
     coords16: bool = False
+    # rperm12: rperm values are ITEM-LOCAL edge ranks, so when every
+    # item has < 4096 edges they fit 12 bits — pairs pack into 3 bytes
+    # (1.5 B/edge vs 2). Lossless; device unpack is three elementwise
+    # byte ops. rperm is the largest chunk field (~64% of the wire at
+    # 100k-pose scale), so this cuts the upload ~16%.
+    # POINTVS_CHUNK_RPERM12=0 restores plain uint16.
+    rperm12: bool = False
+    # deg8: out-degree counts fit uint8 when the densest node has < 256
+    # out-edges (radius-graph pockets: ~54 at the default radius) —
+    # 1 B/node instead of 2. Lossless.
+    deg8: bool = False
+
+
+def _max_out_degree(host: HostStore) -> int:
+    """Max out-degree across the store, from run lengths of the
+    lex-sorted per-item sender lists (one vectorised pass — equal
+    senders are contiguous within an item, and item boundaries break
+    runs explicitly)."""
+    s = host.arrays.senders
+    if len(s) == 0:
+        return 0
+    breaks = np.flatnonzero(s[1:] != s[:-1]).astype(np.int64) + 1
+    bounds = np.union1d(np.concatenate(
+        ([0], breaks, [len(s)])), host.arrays.edge_start.astype(np.int64))
+    return int(np.diff(bounds).max(initial=0))
 
 
 def plan_chunks(host: HostStore, budget_bytes: float, raw: bool = True):
@@ -771,24 +796,32 @@ def plan_chunks(host: HostStore, budget_bytes: float, raw: bool = True):
                and os.environ.get('POINTVS_CHUNK_DEGREES', '1') != '0')
     coords16 = (raw and
                 os.environ.get('POINTVS_CHUNK_COORDS16', '1') != '0')
+    max_item_e = int(np.max(host.arrays.edge_len, initial=0))
+    rperm12 = (raw and max_item_e < 4096
+               and os.environ.get('POINTVS_CHUNK_RPERM12', '1') != '0')
+    deg8 = (degrees and _max_out_degree(host) < 256
+            and os.environ.get('POINTVS_CHUNK_DEG8', '1') != '0')
     per_node = (feat_dim + (6 if coords16 else 12)
-                + (2 if degrees else 0))
+                + ((1 if deg8 else 2) if degrees else 0))
     per_edge = (host.arrays.senders.itemsize * 2
-                + host.arrays.rperm.itemsize + 1
+                + (1.5 if rperm12 else host.arrays.rperm.itemsize) + 1
                 - (host.arrays.senders.itemsize if degrees else 0))
     n_items = len(host.num_nodes)
-    ranges = []
-    lo = 0
-    while lo < n_items:
-        hi = lo + 1
-        while hi < n_items:
-            nb = ((int(ns[hi + 1] - ns[lo])) * per_node
-                  + (int(es[hi + 1] - es[lo])) * per_edge)
-            if nb > budget_bytes:
-                break
-            hi += 1
-        ranges.append((lo, hi))
-        lo = hi
+    # BALANCED ranges: chunks ship FIXED shapes (one compiled expand
+    # program), so every chunk pays max-chunk bytes on the wire. A
+    # greedy fill makes k-1 full chunks plus a small tail padded to the
+    # full shape (measured 20,041 B/pose on the tail vs 3,777 real at
+    # 100k scale); splitting the cumulative byte estimate evenly keeps
+    # the fixed shapes ~= total/k and eliminates the tail waste.
+    wb = (np.diff(ns).astype(np.float64) * per_node
+          + np.diff(es).astype(np.float64) * per_edge)
+    cum = np.concatenate([[0.0], np.cumsum(wb)])
+    k = max(1, int(np.ceil(cum[-1] / budget_bytes)))
+    splits = np.searchsorted(cum, cum[-1] * np.arange(1, k) / k)
+    splits = np.unique(np.clip(splits, 1, n_items - 1)) if k > 1 else []
+    bounds = np.concatenate([[0], splits, [n_items]]).astype(int)
+    ranges = [(int(a_), int(b_))
+              for a_, b_ in zip(bounds[:-1], bounds[1:]) if b_ > a_]
     items = max(hi - lo for lo, hi in ranges)
     n_fix = max(int(ns[hi] - ns[lo]) for lo, hi in ranges)
     e_fix = max(int(es[hi] - es[lo]) for lo, hi in ranges)
@@ -800,7 +833,7 @@ def plan_chunks(host: HostStore, budget_bytes: float, raw: bool = True):
         return ranges, StoreChunkSpec(
             items=items, n_fix=n_fix, eh_fix=eh_fix, feat_dim=feat_dim,
             half=host.symmetric, raw=True, degrees=degrees,
-            coords16=coords16)
+            coords16=coords16, rperm12=rperm12, deg8=deg8)
     eh_fix = -(-(e_fix // 2) // 4) * 4 if host.symmetric else e_fix
     return ranges, StoreChunkSpec(items=items, n_fix=n_fix, eh_fix=eh_fix,
                                   feat_dim=feat_dim, half=host.symmetric)
@@ -867,7 +900,18 @@ def pack_chunk(host: HostStore, lo: int, hi: int, spec: StoreChunkSpec):
         e4 = fc.reshape(-1, 4)
         class_bits = (e4[:, 0] | (e4[:, 1] << 2) | (e4[:, 2] << 4)
                       | (e4[:, 3] << 6)).astype(np.uint8)
-        edges = {'raw_rperm': fp, 'raw_class_bits': class_bits}
+        if spec.rperm12:
+            # Item-local ranks < 4096: pack value pairs into 3 bytes
+            # (eh_fix % 4 == 0 so the pairing is exact; padding is 0).
+            v = fp.astype(np.uint16)
+            v0, v1 = v[0::2], v[1::2]
+            rp12 = np.empty((spec.eh_fix // 2, 3), np.uint8)
+            rp12[:, 0] = v0 & 0xff
+            rp12[:, 1] = ((v0 >> 8) & 0xf) | ((v1 & 0xf) << 4)
+            rp12[:, 2] = (v1 >> 4) & 0xff
+            edges = {'raw_rperm12': rp12, 'raw_class_bits': class_bits}
+        else:
+            edges = {'raw_rperm': fp, 'raw_class_bits': class_bits}
         if spec.degrees:
             # Senders as per-(chunk-local)-node out-degrees: edges are
             # lex-sorted per item, so the sender list is exactly the
@@ -883,7 +927,8 @@ def pack_chunk(host: HostStore, lo: int, hi: int, spec: StoreChunkSpec):
                     'node out-degree exceeds uint16; set '
                     'POINTVS_CHUNK_DEGREES=0 for the explicit-senders '
                     'chunk codec')
-            edges['raw_degrees'] = deg.astype(np.uint16)
+            edges['raw_degrees'] = deg.astype(
+                np.uint8 if spec.deg8 else np.uint16)
         else:
             fs = np.zeros(spec.eh_fix, a.senders.dtype)
             fs[:e] = a.senders[e_lo:e_hi]
@@ -972,7 +1017,13 @@ def expand_chunk(packed: dict, spec: StoreChunkSpec) -> DeviceStoreArrays:
                                 0).astype(jnp.int32)
         else:
             senders = packed['raw_senders'].astype(jnp.int32)
-        rperm = packed['raw_rperm'].astype(jnp.int32)
+        if spec.rperm12:
+            b = packed['raw_rperm12'].astype(jnp.int32)   # [eh/2, 3]
+            v0 = b[:, 0] | ((b[:, 1] & 0xf) << 8)
+            v1 = (b[:, 1] >> 4) | (b[:, 2] << 4)
+            rperm = jnp.stack([v0, v1], axis=1).reshape(-1)
+        else:
+            rperm = packed['raw_rperm'].astype(jnp.int32)
         if 'raw_receivers' in packed:
             receivers = packed['raw_receivers'].astype(jnp.int32)
         else:

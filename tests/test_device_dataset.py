@@ -536,8 +536,11 @@ def test_chunk_codec_bit_exact(dataset, host_store):
     full_e = int(max(host_store.arrays.edge_start[hi]
                      - host_store.arrays.edge_start[lo]
                      for lo, hi in ranges))
-    # raw degree-encoded (default), raw explicit senders
-    specs = [spec, spec._replace(degrees=False)]
+    # raw degree-encoded (default incl. 12-bit rperm + uint8 degrees),
+    # raw with the legacy uint16 fields, raw explicit senders
+    assert spec.rperm12 and spec.deg8
+    specs = [spec, spec._replace(rperm12=False, deg8=False),
+             spec._replace(degrees=False)]
     if host_store.symmetric:   # the symmetric-HALF reconstruction codec
         specs.append(spec._replace(
             raw=False, half=True,
@@ -624,6 +627,23 @@ def test_chunk_coords16_bound(host_store):
             got.receivers[:e], a.receivers[e_lo:e_hi].astype(np.int32))
         np.testing.assert_array_equal(
             got.rperm[:e], a.rperm[e_lo:e_hi].astype(np.int32))
+
+
+def test_chunk_rperm12_gated_on_item_edge_count(host_store):
+    """12-bit rperm packing requires every item to have < 4096 edges
+    (ranks are item-local); a store with a larger item falls back to
+    plain uint16 automatically. uint8 degrees likewise require the max
+    out-degree to fit a byte."""
+    from pointvs_tpu.data.device_dataset import plan_chunks
+
+    _, spec = plan_chunks(host_store, budget_bytes=host_store.nbytes)
+    assert spec.rperm12 and spec.deg8
+    el = host_store.arrays.edge_len.copy()
+    el[0] = 4096
+    big = host_store._replace(arrays=host_store.arrays._replace(
+        edge_len=el))
+    _, spec_big = plan_chunks(big, budget_bytes=host_store.nbytes)
+    assert not spec_big.rperm12
 
 
 def test_chunk_degrees_gated_on_uint16_rperm(host_store):
