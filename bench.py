@@ -354,7 +354,11 @@ def bench_tpu(samples, ds):
 
         aug_probe_batches = []
         amax_n = amax_e = 0
-        for ep in range(3):
+        # 8 epochs >= the 7 measure_e2e consumes (1 warm + 3x2 timed):
+        # a cap/bucket record set by an UNPROBED epoch would recompile
+        # the step inside a timed window (the r3->r4 streaming collapse
+        # mechanism) — probe everything the measurement will see.
+        for ep in range(8):
             idx = probe_dl._epoch_indices()
             for lo in range(0, len(idx) - N_GRAPHS + 1, N_GRAPHS):
                 items = [item(int(i), ep) for i in idx[lo:lo + N_GRAPHS]]

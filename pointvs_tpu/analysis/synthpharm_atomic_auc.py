@@ -65,7 +65,10 @@ def get_stats_from_dir(model_fname, directory, types, attribution_fn,
             continue
         sample = ds[item]
         batch = get_single_graph_for_inference(sample)
-        scores = attribution_fn(trainer.model, trainer.params, batch,
+        # host_model, not model: strict-graphnorm checkpoints on
+        # multi-device hosts bind a psum('dp') inside the sharded step;
+        # outside shard_map that axis is unbound (attribution.py:96).
+        scores = attribution_fn(trainer.host_model, trainer.params, batch,
                                 task=trainer.model_task)
         bp = (sample.node_feats[:, :3].sum(axis=1) > 0).astype(int)
         df = pd.DataFrame({

@@ -801,11 +801,6 @@ def plan_chunks(host: HostStore, budget_bytes: float, raw: bool = True):
                and os.environ.get('POINTVS_CHUNK_RPERM12', '1') != '0')
     deg8 = (degrees and _max_out_degree(host) < 256
             and os.environ.get('POINTVS_CHUNK_DEG8', '1') != '0')
-    per_node = (feat_dim + (6 if coords16 else 12)
-                + ((1 if deg8 else 2) if degrees else 0))
-    per_edge = (host.arrays.senders.itemsize * 2
-                + (1.5 if rperm12 else host.arrays.rperm.itemsize) + 1
-                - (host.arrays.senders.itemsize if degrees else 0))
     n_items = len(host.num_nodes)
     # BALANCED ranges: chunks ship FIXED shapes (one compiled expand
     # program), so every chunk pays max-chunk bytes on the wire. A
@@ -813,13 +808,37 @@ def plan_chunks(host: HostStore, budget_bytes: float, raw: bool = True):
     # full shape (measured 20,041 B/pose on the tail vs 3,777 real at
     # 100k scale); splitting the cumulative byte estimate evenly keeps
     # the fixed shapes ~= total/k and eliminates the tail waste.
-    wb = (np.diff(ns).astype(np.float64) * per_node
-          + np.diff(es).astype(np.float64) * per_edge)
+    # Split on EXPANDED device bytes — the documented contract, and the
+    # binding constraint: ~2 chunks stay live in HBM while executions
+    # drain, and the expanded arrays (senders/receivers/rperm int32 +
+    # eclass = 13 B/edge; uint8 feats + f32 coords = feat_dim + 12
+    # B/node) are ~3x the wire codec's bytes. Splitting on wire bytes
+    # let a heavy library (4,854 edges/pose measured) build 3.7 GB
+    # chunks that crashed the TPU worker. Upload balance follows — both
+    # estimates are edge-dominated.
+    per_node_dev = feat_dim + 12
+    per_edge_dev = 13
+    wb = (np.diff(ns).astype(np.float64) * per_node_dev
+          + np.diff(es).astype(np.float64) * per_edge_dev)
     cum = np.concatenate([[0.0], np.cumsum(wb)])
+    # Even splitting targets budget-sized chunks, but searchsorted lands
+    # boundaries on item edges so a range can overshoot the budget by up
+    # to one item — and the FIXED shapes are the max over ranges, so one
+    # over-budget range inflates every chunk's upload. Raise k until all
+    # multi-item ranges fit (a single item over budget is unsplittable).
     k = max(1, int(np.ceil(cum[-1] / budget_bytes)))
-    splits = np.searchsorted(cum, cum[-1] * np.arange(1, k) / k)
-    splits = np.unique(np.clip(splits, 1, n_items - 1)) if k > 1 else []
-    bounds = np.concatenate([[0], splits, [n_items]]).astype(int)
+    while True:
+        splits = np.searchsorted(cum, cum[-1] * np.arange(1, k) / k)
+        splits = (np.unique(np.clip(splits, 1, n_items - 1))
+                  if k > 1 else [])
+        bounds = np.concatenate([[0], splits, [n_items]]).astype(int)
+        range_bytes = np.diff(cum[bounds])
+        range_items = np.diff(bounds)
+        if (k >= n_items
+                or not np.any((range_bytes > budget_bytes)
+                              & (range_items > 1))):
+            break
+        k += 1
     ranges = [(int(a_), int(b_))
               for a_, b_ in zip(bounds[:-1], bounds[1:]) if b_ > a_]
     items = max(hi - lo for lo, hi in ranges)

@@ -281,12 +281,22 @@ def load_torch_checkpoint(path):
     point_neural_network_base.py:510-517: model_state_dict +
     optimiser_state_dict + epochs) and a bare state_dict.
     """
+    import pickle
     import torch
     try:
         ckpt = torch.load(str(path), map_location='cpu')
-    except Exception:
+    except Exception as exc:
         # Older/newer torch pickle-safety defaults differ; the reference
-        # format contains only tensors and plain scalars.
+        # format contains only tensors and plain scalars. Retry with
+        # weights_only=False ONLY when the failure is the safe loader
+        # rejecting non-tensor globals — a corrupt/missing file must
+        # surface its real error, and arbitrary pickles must not be
+        # silently executed.
+        unsafe_needed = (isinstance(exc, pickle.UnpicklingError)
+                         or 'weights only' in str(exc).lower()
+                         or 'weights_only' in str(exc).lower())
+        if not unsafe_needed:
+            raise
         ckpt = torch.load(str(path), map_location='cpu',
                           weights_only=False)
     if isinstance(ckpt, dict) and 'model_state_dict' in ckpt:

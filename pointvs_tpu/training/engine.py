@@ -468,8 +468,11 @@ class Trainer:
         # Snapshot params/opt NOW, on the main thread: the real first
         # step donates self.params/opt_state buffers, so a copy taken
         # later from the background thread would read deleted arrays.
-        params0 = jax.tree.map(jnp.copy, self.params)
-        opt0 = jax.tree.map(jnp.copy, self.opt_state)
+        # ONE jitted program for the whole (params, opt) tuple — per-leaf
+        # eager jnp.copy would dispatch dozens of tiny remote programs
+        # (the op-by-op pattern this backend punishes with minutes).
+        tree_copy = jax.jit(lambda t: jax.tree.map(jnp.copy, t))
+        params0, opt0 = tree_copy((self.params, self.opt_state))
 
         def work():
             try:
@@ -486,9 +489,9 @@ class Trainer:
                     buf = np.zeros((self.num_devices, nbytes), np.uint8)
                     # Fresh COPIES per program (each call donates its
                     # first two arguments); the snapshot itself is never
-                    # donated, so later copies stay valid.
-                    params = jax.tree.map(jnp.copy, params0)
-                    opt = jax.tree.map(jnp.copy, opt0)
+                    # donated, so later copies stay valid. Reuses the
+                    # already-compiled single-program tree_copy.
+                    params, opt = tree_copy((params0, opt0))
                     out = step_fn(
                         params, opt,
                         ('packed', shard_batch(buf, self.mesh), template,

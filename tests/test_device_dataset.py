@@ -646,6 +646,36 @@ def test_chunk_rperm12_gated_on_item_edge_count(host_store):
     assert not spec_big.rperm12
 
 
+def test_chunk_ranges_respect_budget(host_store):
+    """plan_chunks' documented contract: every multi-item range's
+    EXPANDED device bytes (int32 edge triples + eclass = 13 B/edge,
+    uint8 feats + f32 coords = feat_dim + 12 B/node — the arrays that
+    actually occupy HBM while ~2 chunks stay live) fit budget_bytes;
+    a single over-budget item is unsplittable and exempt. The balanced
+    splitter lands boundaries on item edges, so without the retry loop
+    a range could overshoot by up to one item and inflate every chunk's
+    fixed shapes — and splitting on the ~3x-smaller wire bytes built
+    chunks that crashed the TPU worker on a heavy library."""
+    from pointvs_tpu.data.device_dataset import plan_chunks
+
+    a = host_store.arrays
+    n_items = len(host_store.num_nodes)
+    per_item = (np.diff(a.node_start) * float(a.feats.shape[1] + 12)
+                + np.diff(a.edge_start) * 13.0)
+    # A budget just under half the total: naive k=2 splitting puts the
+    # boundary mid-item and one side overshoots for most size mixes.
+    for frac in (0.51, 0.34, 0.26):
+        budget = float(per_item.sum()) * frac
+        ranges, _ = plan_chunks(host_store, budget_bytes=budget)
+        assert ranges and ranges[0][0] == 0 and ranges[-1][1] == n_items
+        for (lo, hi), (lo2, _) in zip(ranges, ranges[1:]):
+            assert hi == lo2   # contiguous, no gaps
+        for lo, hi in ranges:
+            if hi - lo > 1:
+                est = float(per_item[lo:hi].sum())
+                assert est <= budget * 1.001, (lo, hi, est, budget)
+
+
 def test_chunk_degrees_gated_on_uint16_rperm(host_store):
     """Degree-encoded senders require uint16 counts; a store whose rperm
     is int32 (some item >= 65536 edges, so out-degrees could overflow)
